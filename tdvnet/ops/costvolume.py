@@ -1,0 +1,102 @@
+"""Plane-sweep variance cost volume and point-feature variance gathering.
+
+TPU-first redesign of the reference warping pipeline
+(`mv3d/subnetworks/mvsnet.py:187-216`: build frustum points → project into
+each ref↔src edge → grid_sample → scatter-mean variance): here the ref/src
+graph is a fixed [R, S] table, so variance is a masked reduction over the
+source axis S — no edge gather/scatter, and XLA fuses the projection math
+into the sampling gathers.  Accumulation over sources runs as a `lax.scan`
+(S is small) so only one [R, D*h*w, C] sampled tensor is live at a time.
+"""
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from tdvnet.ops import camera
+from tdvnet.ops.sampling import bilinear_sample_batched
+
+
+def _source_variance(pts_world: jnp.ndarray, feats: jnp.ndarray,
+                     src_idx: jnp.ndarray, src_mask: jnp.ndarray,
+                     P_all: jnp.ndarray, img_size: Tuple[int, int]):
+    """Masked per-point feature variance over each ref's source views.
+
+    pts_world: [R, P, 3] world points belonging to ref view r.
+    feats:     [N, Hf, Wf, C] feature maps (any resolution).
+    src_idx:   [R, S] image indices; src_mask: [R, S] validity.
+    P_all:     [N, 3, 4] projection matrices (full-image pixel units).
+    img_size:  (H, W) full image size the projections are expressed in.
+
+    Returns (var [R, P, C] fp32, mean [R, P, C] fp32).
+    """
+    R, P, _ = pts_world.shape
+    S = src_idx.shape[1]
+    Hf, Wf, C = feats.shape[1:]
+    H, W = img_size
+    # pixel → feature-grid coords (align-corners: x_f = x * (Wf-1)/(W-1))
+    sx = (Wf - 1.0) / (W - 1.0)
+    sy = (Hf - 1.0) / (H - 1.0)
+    scale = jnp.array([sx, sy], dtype=jnp.float32)
+
+    def body(carry, s):
+        acc, acc_sq, cnt = carry
+        idx = src_idx[:, s]                      # [R]
+        xy, _ = camera.project_points(pts_world, P_all[idx])   # [R, P, 2]
+        f = bilinear_sample_batched(feats[idx], xy * scale)    # [R, P, C]
+        f = f.astype(jnp.float32)
+        m = src_mask[:, s].astype(jnp.float32)[:, None, None]
+        return (acc + f * m, acc_sq + f * f * m,
+                cnt + src_mask[:, s].astype(jnp.float32)), None
+
+    init = (jnp.zeros((R, P, C), jnp.float32),
+            jnp.zeros((R, P, C), jnp.float32),
+            jnp.zeros((R,), jnp.float32))
+    (acc, acc_sq, cnt), _ = jax.lax.scan(body, init, jnp.arange(S))
+    denom = jnp.maximum(cnt, 1.0)[:, None, None]
+    mean = acc / denom
+    var = acc_sq / denom - mean * mean
+    return var, mean
+
+
+def plane_sweep_cost_volume(feats: jnp.ndarray, rotmats: jnp.ndarray,
+                            tvecs: jnp.ndarray, K: jnp.ndarray,
+                            ref_idx: jnp.ndarray, src_idx: jnp.ndarray,
+                            src_mask: jnp.ndarray, depth_start: float,
+                            depth_interval: float, n_planes: int,
+                            img_size: Tuple[int, int],
+                            plane_size: Tuple[int, int]) -> jnp.ndarray:
+    """Variance cost volume for each ref view.
+
+    feats: [N, Hf, Wf, C] (quarter-res image features).
+    ref_idx: [R] image index of each ref view; src_idx/src_mask: [R, S].
+    Returns [R, D, h, w, C] fp32 variance volume (NDHWC for the 3D U-Net).
+    """
+    h, w = plane_size
+    pts = camera.plane_sweep_points(depth_start, depth_interval, n_planes,
+                                    rotmats[ref_idx], tvecs[ref_idx],
+                                    K[ref_idx], img_size, plane_size)
+    P_all = camera.projection_matrix(K, rotmats, tvecs)
+    var, _ = _source_variance(pts, feats, src_idx, src_mask, P_all, img_size)
+    R = ref_idx.shape[0]
+    return var.reshape(R, n_planes, h, w, -1)
+
+
+def hypothesis_point_variance(pts_world: jnp.ndarray, feats: jnp.ndarray,
+                              src_idx: jnp.ndarray, src_mask: jnp.ndarray,
+                              rotmats: jnp.ndarray, tvecs: jnp.ndarray,
+                              K: jnp.ndarray,
+                              img_size: Tuple[int, int]) -> jnp.ndarray:
+    """Variance feature at arbitrary 3D points (PointFlow / scene pointcloud).
+
+    Covers the reference's re-projection variance blocks
+    (`mv3d/lightningmodel.py:146-169` and `:207-229`).
+    pts_world: [R, P, 3] points owned by ref view r.
+    Returns [R, P, C] fp32 variance features.
+    """
+    P_all = camera.projection_matrix(K, rotmats, tvecs)
+    var, _ = _source_variance(pts_world, feats, src_idx, src_mask, P_all,
+                              img_size)
+    return var

@@ -1,0 +1,77 @@
+"""Bilinear/trilinear sampling parity vs torch grid_sample (cpu torch is a
+test-only dependency; the framework itself never imports torch)."""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from tdvnet.ops import sampling
+
+
+def test_bilinear_matches_grid_sample(rng):
+    torch = pytest.importorskip("torch")
+    import torch.nn.functional as F
+
+    H, W, C = 13, 17, 4
+    P = 200
+    feat = rng.normal(size=(H, W, C)).astype(np.float32)
+    # queries spanning in and out of bounds
+    xy = rng.uniform(-3, W + 2, size=(P, 2)).astype(np.float32)
+    xy[:, 1] = rng.uniform(-3, H + 2, size=P).astype(np.float32)
+
+    ours = np.asarray(sampling.bilinear_sample(jnp.array(feat), jnp.array(xy)))
+
+    t_feat = torch.from_numpy(feat).permute(2, 0, 1)[None]  # [1,C,H,W]
+    gx = torch.from_numpy(xy[:, 0] / (W - 1) * 2 - 1)
+    gy = torch.from_numpy(xy[:, 1] / (H - 1) * 2 - 1)
+    grid = torch.stack([gx, gy], dim=-1)[None, :, None, :]  # [1,P,1,2]
+    ref = F.grid_sample(t_feat, grid, mode="bilinear", padding_mode="zeros",
+                        align_corners=True)[0, :, :, 0].T.numpy()
+    np.testing.assert_allclose(ours, ref, atol=1e-5)
+
+
+def test_trilinear_interior_exact(rng):
+    # a linear field is reproduced exactly by trilinear interpolation
+    X, Y, Z = 8, 9, 10
+    xx, yy, zz = np.meshgrid(np.arange(X), np.arange(Y), np.arange(Z),
+                             indexing="ij")
+    vol = (2.0 * xx - 3.0 * yy + 0.5 * zz).astype(np.float32)[..., None]
+    q = rng.uniform(0.0, [X - 1, Y - 1, Z - 1], size=(100, 3)).astype(np.float32)
+    out = np.asarray(sampling.trilinear_sample(jnp.array(vol), jnp.array(q)))
+    expect = 2.0 * q[:, 0] - 3.0 * q[:, 1] + 0.5 * q[:, 2]
+    np.testing.assert_allclose(out[:, 0], expect, rtol=1e-4, atol=1e-4)
+
+
+def test_trilinear_zero_outside():
+    vol = np.ones((4, 4, 4, 1), np.float32)
+    q = np.array([[-2.0, 1.0, 1.0], [1.0, 1.0, 5.0], [-0.5, 0.0, 0.0]],
+                 np.float32)
+    out = np.asarray(sampling.trilinear_sample(jnp.array(vol), jnp.array(q)))
+    assert out[0, 0] == 0.0
+    assert out[1, 0] == 0.0
+    # half-in point gets half weight
+    np.testing.assert_allclose(out[2, 0], 0.5, atol=1e-6)
+
+
+def test_resize_nearest_matches_torch(rng):
+    torch = pytest.importorskip("torch")
+    import torch.nn.functional as F
+
+    x = rng.normal(size=(2, 3, 11, 13)).astype(np.float32)
+    for out_hw in [(22, 26), (5, 7), (11, 13), (33, 39)]:
+        ours = np.asarray(sampling.resize_nearest(jnp.array(x), out_hw))
+        ref = F.interpolate(torch.from_numpy(x), out_hw, mode="nearest").numpy()
+        np.testing.assert_allclose(ours, ref)
+
+
+def test_masked_mean_var(rng):
+    from tdvnet.ops import masked
+
+    x = rng.normal(size=(3, 5, 4)).astype(np.float32)
+    mask = np.array([[1, 1, 0, 0, 0], [1, 1, 1, 1, 1], [0, 1, 0, 1, 0]],
+                    bool)
+    mean, var = masked.masked_mean_var(jnp.array(x), jnp.array(mask), axis=1)
+    for i in range(3):
+        sel = x[i, mask[i]]
+        np.testing.assert_allclose(np.asarray(mean)[i], sel.mean(0), rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(var)[i], sel.var(0), rtol=1e-4,
+                                   atol=1e-6)
