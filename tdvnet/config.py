@@ -209,8 +209,9 @@ def tiny_test_config() -> Config:
             "cost_base_channels": 4,
             "decoder_hidden": 16,
             "propagation_hidden": 8,
-            "depth_train": {"n_intervals": 16, "size": (16, 20)},
-            "depth_test": {"n_intervals": 16, "size": (16, 20)},
+            # CostRegNet's 3 stride-2 levels need D, h, w divisible by 8
+            "depth_train": {"n_intervals": 16, "size": (16, 16)},
+            "depth_test": {"n_intervals": 16, "size": (16, 16)},
             "grid": {"grid_size": (16, 16, 16), "max_anchors": 2048},
         },
         "batch": {

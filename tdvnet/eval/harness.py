@@ -1,0 +1,119 @@
+"""Whole-scene evaluation harness.
+
+Counterpart of `mv3d/eval/main.py:15-113`: runs a method callback over every
+scene of the selected dataset, caches `preds.npz` per scene (idempotent
+re-runs), computes 2D metrics and depth- or volume-3D metrics, and
+aggregates.  Any method plugs in through `pred_fn` — the same protocol the
+reference's six baselines use (`process_scene(batch, scene, dset, net)`).
+
+pred_fn signature here: pred_fn(views: dict, scene_dir: str, dset: Dataset)
+→ either depth maps [R, H, W] (depth=True) or a mesh tuple (verts, faces)
+(depth=False).  Optionally return (depth, init_prob, final_prob).
+"""
+from __future__ import annotations
+
+import json
+import os
+from typing import Callable, Optional, Sequence
+
+import numpy as np
+
+from tdvnet.config import Config
+from tdvnet.data import frameselector, scenelists
+from tdvnet.data.dataset import Dataset
+from tdvnet.eval import processresults
+from tdvnet.ops import ply, raster
+
+
+def main(save_dirname: str, pred_fn: Callable, cfg: Config,
+         depth: bool = True, overwrite: bool = False,
+         scenes: Optional[Sequence[str]] = None,
+         mask_using_gt_mesh: bool = True, start_idx: int = 0):
+    e = cfg.eval
+    save_dir = os.path.join(e.save_dir, save_dirname)
+    os.makedirs(save_dir, exist_ok=True)
+
+    if scenes is None:
+        scenes = scenelists.get_scenes(e.dataset_type, cfg.data)
+
+    selector = frameselector.NextPoseDistSelector(e.pdist, 20)
+    dset = Dataset(scenes, selector, None,
+                   depth_img_size=e.depth_img_size,
+                   img_size=cfg.batch.img_size, augment=False,
+                   n_src_on_either_side=e.n_src_on_either_side)
+
+    for j, scene in enumerate(scenes[start_idx:]):
+        scene_name = os.path.basename(scene)
+        print(f"{j + 1 + start_idx} / {len(scenes)}: {scene_name}")
+        scene_save_dir = os.path.join(save_dir, "scenes", scene_name)
+        os.makedirs(scene_save_dir, exist_ok=True)
+        pred_path = os.path.join(scene_save_dir, "preds.npz")
+
+        if not os.path.exists(pred_path) or overwrite:
+            views = dset.load_views(j + start_idx, seed_idx=0)
+            k = dset.k
+            n_imgs = views["images"].shape[0]
+            ref_sel = np.arange(k, n_imgs - k)
+
+            init_prob = final_prob = None
+            if depth:
+                result = pred_fn(views, scene, dset)
+                if isinstance(result, tuple):
+                    depth_preds, init_prob, final_prob = result
+                else:
+                    depth_preds = result
+            else:
+                verts, faces = pred_fn(views, scene, dset)
+                ply.write_ply(os.path.join(scene_save_dir, "mesh.ply"),
+                              verts, faces)
+                poses = np.repeat(np.eye(4, dtype=np.float32)[None],
+                                  n_imgs, 0)
+                poses[:, :3, :3] = views["rotmats"]
+                poses[:, :3, 3] = views["tvecs"]
+                depth_preds = raster.render_scene_depths(
+                    verts, faces, poses[ref_sel], views["K"][ref_sel],
+                    e.depth_img_size)
+
+            # rescale K to the prediction resolution (ref main.py:74-81)
+            old_h, old_w = views["images"].shape[1:3]
+            new_h, new_w = depth_preds.shape[-2:]
+            K = views["K"][ref_sel].copy()
+            K[:, 0, :] *= new_w / old_w
+            K[:, 1, :] *= new_h / old_h
+
+            preds = dict(
+                scene=scene_name,
+                depth_preds=np.asarray(depth_preds, np.float32),
+                rotmats=views["rotmats"][ref_sel],
+                tvecs=views["tvecs"][ref_sel],
+                K=K,
+                img_idx=views["img_idx"][ref_sel],
+            )
+            if init_prob is not None:
+                preds["init_prob"] = init_prob
+            if final_prob is not None:
+                preds["final_prob"] = final_prob
+            np.savez(pred_path, **preds)
+
+        processresults.process_scene_2d_metrics(scene, scene_save_dir,
+                                                overwrite)
+        if depth:
+            processresults.process_depth_3d_metrics(
+                scene, scene_save_dir, e, mask_using_gt_mesh, overwrite)
+        else:
+            processresults.process_volume_3d_metrics(
+                scene, scene_save_dir, e, mask_using_gt_mesh, overwrite)
+
+    return processresults.calc_avg_metrics(save_dir)
+
+
+def make_3dvnet_pred_fn(model, variables, cfg: Config):
+    """The flagship's pred_fn: chunked whole-scene inference."""
+    from tdvnet.eval.whole_scene import SceneInference
+
+    inf = SceneInference(model, variables, cfg)
+
+    def pred_fn(views, scene_dir, dset):
+        return inf.predict_scene(views)
+
+    return pred_fn

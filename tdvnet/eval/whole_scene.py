@@ -1,0 +1,214 @@
+"""Whole-scene streaming inference with static-shape chunking.
+
+Counterpart of the reference eval entry (`mv3d/eval-3dvnet.py:26-129`):
+initial depth streams over ref chunks (INIT_DEPTH_BATCH=18), the scene
+volume is built once per refinement iteration from ALL depths
+(`eval-3dvnet.py:75`), PointFlow streams over chunks (OFFSET_BATCH=16),
+upsampling over chunks (UPSAMPLE_BATCH=100).  On TPU every chunk shape is
+static: ref counts pad up to the chunk size and whole-scene ref totals pad
+up to power-of-two buckets, so arbitrary-length scenes reuse a handful of
+compiled graphs.
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tdvnet.config import Config, DepthConfig, GridConfig
+from tdvnet.data.batch import FrameBatch
+from tdvnet.models.threedvnet import ThreeDVNet
+
+
+def _bucket(n: int, lo: int = 16) -> int:
+    b = lo
+    while b < n:
+        b *= 2
+    return b
+
+
+def _chunk_batch(views: Dict, r0: int, r1: int, k: int,
+                 chunk_refs: int) -> Tuple[FrameBatch, int]:
+    """Build a local FrameBatch for ref slots [r0, r1) of a single scene.
+
+    Refs r of the scene use images [r, r+2k]; the chunk's image window is
+    [r0, r1 + 2k).  Pads to `chunk_refs` refs.  Returns (batch, n_valid).
+    """
+    n_valid = r1 - r0
+    S = 2 * k + 1
+    n_imgs_window = chunk_refs + 2 * k
+    i0 = r0
+    n_total_imgs = views["rotmats"].shape[0]
+
+    def pad_imgs(a):
+        sl = a[i0:i0 + n_imgs_window]
+        if sl.shape[0] < n_imgs_window:
+            pad = np.repeat(sl[-1:], n_imgs_window - sl.shape[0], axis=0)
+            sl = np.concatenate([sl, pad], axis=0)
+        return jnp.asarray(sl)
+
+    ref_idx = np.arange(chunk_refs, dtype=np.int32) + k
+    src_idx = ref_idx[:, None] + np.arange(-k, k + 1, dtype=np.int32)[None]
+    ref_mask = np.arange(chunk_refs) < n_valid
+    src_global = src_idx + i0 - k
+    src_mask = ref_mask[:, None] & (src_global >= 0) \
+        & (src_global < n_total_imgs)
+    src_idx = np.clip(src_idx, 0, n_imgs_window - 1)
+
+    return FrameBatch(
+        images=jnp.zeros((n_imgs_window, 1, 1, 3), jnp.float32),
+        rotmats=pad_imgs(views["rotmats"]),
+        tvecs=pad_imgs(views["tvecs"]),
+        K=pad_imgs(views["K"]),
+        depth_gt=None,
+        ref_idx=jnp.asarray(ref_idx),
+        src_idx=jnp.asarray(src_idx),
+        src_mask=jnp.asarray(src_mask),
+        ref_mask=jnp.asarray(ref_mask),
+        img_mask=jnp.ones((n_imgs_window,), bool),
+        img_scene=jnp.zeros((n_imgs_window,), jnp.int32),
+        ref_scene=jnp.zeros((chunk_refs,), jnp.int32),
+        n_scenes=1,
+    ), n_valid
+
+
+class SceneInference:
+    """Compiled-chunk whole-scene depth prediction for one model."""
+
+    def __init__(self, model: ThreeDVNet, variables, cfg: Config,
+                 offsets_list: Sequence[Sequence[float]] = ((0.05, 0.05, 0.025),
+                                                           (0.05, 0.05, 0.025))):
+        self.model = model
+        self.variables = variables
+        self.cfg = cfg
+        self.offsets_list = [list(o) for o in offsets_list]
+        e = cfg.eval
+        self.grid_cfg = GridConfig(
+            edge_len=cfg.model.grid.edge_len, grid_size=e.eval_grid_size,
+            max_anchors=e.eval_max_anchors)
+        self._feat = jax.jit(self._feat_impl)
+        self._init_depth = jax.jit(self._init_depth_impl)
+        self._scene = jax.jit(self._scene_impl)
+        self._pointflow = jax.jit(self._pointflow_impl,
+                                  static_argnames=("offset",))
+        self._upsample = jax.jit(self._upsample_impl)
+
+    # --- jitted impls (closed over model; variables passed as args) ---
+    def _feat_impl(self, variables, images):
+        return self.model.apply(variables, images, False,
+                                method="extract_features")
+
+    def _init_depth_impl(self, variables, batch, quarter):
+        return self.model.apply(variables, batch, self.cfg.model.depth_test,
+                                quarter, False, method="initial_depth")
+
+    def _scene_impl(self, variables, depth_all, quarter_all, batch):
+        return self.model.apply(variables, depth_all, quarter_all, batch,
+                                self.grid_cfg, False, method="model_scene")
+
+    def _pointflow_impl(self, variables, scales, origins, depth, quarter,
+                        batch, offset):
+        return self.model.apply(variables, scales, origins, depth, quarter,
+                                batch, offset, 3, self.grid_cfg, False,
+                                method="run_pointflow")
+
+    def _upsample_impl(self, variables, depth, half, quarter, images, ref_idx):
+        return self.model.apply(variables, depth, half, quarter, images,
+                                ref_idx, False, method="upsample")
+
+    # --- streaming driver ---
+    def predict_scene(self, views: Dict) -> np.ndarray:
+        """views: whole-scene dict from `Dataset.load_views` (numpy).
+
+        Returns depth maps [R, H, W] (image resolution) for all ref views.
+        """
+        cfg, e = self.cfg, self.cfg.eval
+        k = e.n_src_on_either_side
+        n_imgs = views["images"].shape[0]
+        R = n_imgs - 2 * k
+        assert R >= 1, "scene too short"
+        h, w = cfg.model.depth_test.size
+
+        # Stage A: features for all images, chunked
+        CH = 32
+        halves, quarters = [], []
+        for i0 in range(0, n_imgs, CH):
+            sl = views["images"][i0:i0 + CH]
+            pad = CH - sl.shape[0]
+            if pad:
+                sl = np.concatenate([sl, np.repeat(sl[-1:], pad, 0)], 0)
+            fh, fq, _ = self._feat(self.variables, jnp.asarray(sl))
+            halves.append(fh if not pad else fh[:-pad])
+            quarters.append(fq if not pad else fq[:-pad])
+        feats_half = jnp.concatenate(halves, axis=0)
+        feats_quarter = jnp.concatenate(quarters, axis=0)
+
+        # Stage B: initial depth, chunked over refs
+        IC = e.init_depth_batch
+        depth_chunks = []
+        for r0 in range(0, R, IC):
+            r1 = min(r0 + IC, R)
+            cb, n_valid = _chunk_batch(views, r0, r1, k, IC)
+            q = feats_quarter[r0:r0 + IC + 2 * k]
+            qpad = IC + 2 * k - q.shape[0]
+            if qpad:
+                q = jnp.concatenate([q, jnp.repeat(q[-1:], qpad, 0)], 0)
+            d, _ = self._init_depth(self.variables, cb, q)
+            depth_chunks.append(d[:n_valid])
+        depth_all = jnp.concatenate(depth_chunks, axis=0)       # [R, h, w]
+
+        # whole-scene padded batch for the global scene volume
+        Rb = _bucket(R)
+        scene_batch, _ = _chunk_batch(views, 0, R, k, Rb)
+        Nq = Rb + 2 * k
+        q_all = feats_quarter
+        if q_all.shape[0] < Nq:
+            q_all = jnp.concatenate(
+                [q_all, jnp.repeat(q_all[-1:], Nq - q_all.shape[0], 0)], 0)
+        d_pad = jnp.concatenate(
+            [depth_all, jnp.zeros((Rb - R, h, w), jnp.float32)], axis=0)
+
+        # Stage C/D: refinement iterations
+        OC = e.offset_batch
+        for offsets in self.offsets_list:
+            scales, origins = self._scene(self.variables, d_pad, q_all,
+                                          scene_batch)
+            for off in offsets:
+                new_chunks = []
+                for r0 in range(0, R, OC):
+                    r1 = min(r0 + OC, R)
+                    cb, n_valid = _chunk_batch(views, r0, r1, k, OC)
+                    q = feats_quarter[r0:r0 + OC + 2 * k]
+                    qpad = OC + 2 * k - q.shape[0]
+                    if qpad:
+                        q = jnp.concatenate([q, jnp.repeat(q[-1:], qpad, 0)], 0)
+                    dch = d_pad[r0:r0 + OC]
+                    delta = self._pointflow(self.variables, scales, origins,
+                                            dch, q, cb, offset=float(off))
+                    new_chunks.append((dch + delta)[:n_valid])
+                depth_all = jnp.concatenate(new_chunks, axis=0)
+                d_pad = jnp.concatenate(
+                    [depth_all, jnp.zeros((Rb - R, h, w), jnp.float32)], 0)
+
+        # Stage E: upsample, chunked
+        UC = min(e.upsample_batch, max(R, 1))
+        outs = []
+        for r0 in range(0, R, UC):
+            r1 = min(r0 + UC, R)
+            n_valid = r1 - r0
+            dch = depth_all[r0:r0 + UC]
+            pad = UC - dch.shape[0]
+            if pad:
+                dch = jnp.concatenate([dch, jnp.repeat(dch[-1:], pad, 0)], 0)
+            img_sel = np.clip(np.arange(r0, r0 + UC) + k, 0, n_imgs - 1)
+            imgs = jnp.asarray(views["images"][img_sel])
+            half = feats_half[img_sel]
+            quarter = feats_quarter[img_sel]
+            ridx = jnp.arange(UC, dtype=jnp.int32)
+            d = self._upsample(self.variables, dch, half, quarter, imgs, ridx)
+            outs.append(np.asarray(d[:n_valid]))
+        return np.concatenate(outs, axis=0)

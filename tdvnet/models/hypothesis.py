@@ -1,0 +1,63 @@
+"""PointFlow hypothesis decoder.
+
+Counterpart of the reference `HypothesisDecoder`
+(`mv3d/subnetworks/refinement.py:16-44`): for every depth pixel, score the
+2n+1 hypothesis points by trilinearly sampling each scene-U-Net scale at the
+points, concatenating with the per-hypothesis image variance feature, and
+running a small conv stack *across the hypothesis axis* (kernel 3 couples
+neighboring hypotheses) ending in a softmax.
+
+The Minkowski sparse interpolation becomes `trilinear_sample` on the masked
+dense grids — identical values (inactive cells hold zeros).
+"""
+from __future__ import annotations
+
+from typing import List, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from tdvnet.ops.sampling import trilinear_sample_batched
+
+
+def sample_scales(scales, pts: jnp.ndarray, origins: jnp.ndarray,
+                  edge_len: float) -> jnp.ndarray:
+    """Trilinear-sample every U-Net scale at world points, concat channels.
+
+    scales: list of {"grid": [B,x,y,z,C], "stride": s} coarsest-first.
+    pts: [B, Q, 3] world points grouped per scene; origins: [B, 3].
+    Query convention (reference `refinement.py:33-39`): lattice nodes of the
+    stride-s scale sit at world pos center0 + s*i*edge, center0 = origin +
+    edge/2, so node coords are ((pt - center0) / (s * edge)).
+    Returns [B, Q, sum C] with finest scale FIRST (the reference prepends
+    each coarser scale's features: final order fine→coarse).
+    """
+    center0 = origins + 0.5 * edge_len              # [B, 3]
+    feats = []
+    for sc in scales:
+        s = sc["stride"]
+        q = (pts - center0[:, None, :]) / (s * edge_len)
+        feats.append(trilinear_sample_batched(sc["grid"], q))
+    # scales arrive coarsest-first; reference output order is finest-first
+    return jnp.concatenate(feats[::-1], axis=-1)
+
+
+class HypothesisDecoder(nn.Module):
+    hidden: int = 128
+    ksize: int = 3
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, feats: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        """feats: [M, n_hyp, C] per-hypothesis features (scene scales +
+        variance).  Returns softmax scores [M, n_hyp]."""
+        y = feats.astype(self.dtype)
+        for i in range(3):
+            y = nn.Conv(self.hidden, (self.ksize,), padding="SAME",
+                        use_bias=False, dtype=self.dtype)(y)
+            y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                             epsilon=1e-5, dtype=jnp.float32)(y)
+            y = nn.relu(y)
+        y = nn.Conv(1, (self.ksize,), padding="SAME", dtype=self.dtype)(y)
+        return nn.softmax(y[..., 0].astype(jnp.float32), axis=-1)

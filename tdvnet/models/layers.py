@@ -1,0 +1,100 @@
+"""Shared conv blocks (channel-last NHWC / NDHWC, MXU-friendly).
+
+Counterparts of the reference's `conv_bn_relu` / `ConvBnRelu3d` /
+`DeconvBnRelu3d` helpers (`mv3d/subnetworks/mvsnet.py:10-36`) plus the masked
+variants that give dense 3D convs the semantics of Minkowski sparse convs
+(see `scene_unet.py`).
+"""
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+class ConvBnRelu(nn.Module):
+    """Conv (no bias) + BatchNorm + ReLU for 2D or 3D channel-last inputs."""
+
+    features: int
+    kernel_size: Tuple[int, ...] = (3, 3)
+    strides: Tuple[int, ...] = (1, 1)
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = nn.Conv(self.features, self.kernel_size, self.strides,
+                    padding="SAME", use_bias=False, dtype=self.dtype)(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         epsilon=1e-5, dtype=jnp.float32)(x)
+        return nn.relu(x)
+
+
+class ConvTransposeUp3d(nn.Module):
+    """Stride-2 3D transposed conv ×2 upsampling + BN + ReLU.
+
+    Implemented as input-dilated conv (lhs_dilation=2, padding (1,2)) which
+    yields exactly 2x each spatial dim for kernel 3 — the shape contract of
+    the reference's `DeconvBnRelu3d(..., output_padding=1)`
+    (`mv3d/subnetworks/mvsnet.py:28-36`).
+    """
+
+    features: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = nn.Conv(self.features, (3, 3, 3), strides=(1, 1, 1),
+                    input_dilation=(2, 2, 2), padding=((1, 2), (1, 2), (1, 2)),
+                    use_bias=False, dtype=self.dtype)(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         epsilon=1e-5, dtype=jnp.float32)(x)
+        return nn.relu(x)
+
+
+def masked_group_norm(x: jnp.ndarray, mask: jnp.ndarray, num_groups: int,
+                      scale: jnp.ndarray, bias: jnp.ndarray,
+                      eps: float = 1e-5) -> jnp.ndarray:
+    """GroupNorm over *active* voxels only.
+
+    x: [B, gx, gy, gz, C]; mask: [B, gx, gy, gz, 1] in {0,1}.
+    Equivalent to torch GroupNorm applied to the [N_active, C] feature matrix
+    of a sparse tensor (reference `MinkowskiGroupNorm`,
+    `mv3d/subnetworks/scenemodeling.py:78-113`): statistics are computed per
+    (batch, group) over active sites and the group's channels.
+    """
+    B, gx, gy, gz, C = x.shape
+    G = num_groups
+    xg = x.reshape(B, -1, G, C // G).astype(jnp.float32)      # [B, V, G, c]
+    m = mask.reshape(B, -1, 1, 1).astype(jnp.float32)
+    cnt = jnp.sum(m, axis=1) * (C // G)                        # [B, 1, 1]-ish
+    cnt = jnp.maximum(cnt, 1.0)
+    mean = jnp.sum(xg * m, axis=(1, 3), keepdims=True) / cnt[:, None, :, None]
+    var = jnp.sum((xg - mean) ** 2 * m, axis=(1, 3), keepdims=True) \
+        / cnt[:, None, :, None]
+    xn = (xg - mean) * jax.lax.rsqrt(var + eps)
+    xn = xn.reshape(B, gx, gy, gz, C).astype(x.dtype)
+    return (xn * scale + bias) * mask
+
+
+class MaskedGroupNorm(nn.Module):
+    """Parameterized masked GroupNorm (affine)."""
+
+    num_groups: int
+    features: int
+    zero_init_scale: bool = False
+
+    @nn.compact
+    def __call__(self, x, mask):
+        init = nn.initializers.zeros if self.zero_init_scale \
+            else nn.initializers.ones
+        scale = self.param("scale", init, (self.features,))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        return masked_group_norm(x, mask, self.num_groups, scale, bias)
+
+
+def downsample_mask(mask: jnp.ndarray) -> jnp.ndarray:
+    """2x max-pool of a [B, gx, gy, gz, 1] occupancy mask — the active set of
+    a stride-2 sparse conv (site exists iff any child voxel is active)."""
+    return nn.max_pool(mask, (2, 2, 2), strides=(2, 2, 2))

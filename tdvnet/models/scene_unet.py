@@ -1,0 +1,131 @@
+"""Scene-level 3D U-Net over a masked dense voxel grid.
+
+TPU-native replacement for the reference's MinkowskiEngine `SparseUNet`
+(`mv3d/subnetworks/scenemodeling.py:147-237`).  The sparse tensor becomes a
+dense per-scene cropped grid + occupancy mask:
+
+- a stride-1 Minkowski conv at an active site sums only active neighbors;
+  a dense conv over a zero-filled grid computes the same value (bias-free),
+  and multiplying the output by the mask removes the dilation at inactive
+  sites — exact sparse semantics, pure MXU work;
+- stride-2 downsampling: output active set = 2x max-pooled mask;
+- GroupNorm statistics run over active voxels only (`MaskedGroupNorm`),
+  matching Minkowski GroupNorm over the [N_active, C] feature matrix;
+- transpose-conv upsampling writes onto the skip connection's active set.
+
+The densified grid is what the reference's own dense fallback builds per
+batch (`mv3d/subnetworks/refinement.py:46-97`); here it IS the
+representation, sized by a static `GridConfig` crop.  Returns one pyramid
+dict per scale (coarsest first, like `SparseUNet.forward`).
+"""
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from tdvnet.models.layers import MaskedGroupNorm, downsample_mask
+
+
+class MaskedConv3d(nn.Module):
+    features: int
+    strides: int = 1
+    kernel: int = 3
+    use_bias: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, mask_out):
+        k, s = self.kernel, self.strides
+        y = nn.Conv(self.features, (k, k, k), strides=(s, s, s),
+                    padding="SAME", use_bias=self.use_bias,
+                    dtype=self.dtype)(x)
+        return y * mask_out
+
+
+class MaskedUpConv3d(nn.Module):
+    """2x transposed conv onto a finer active set."""
+
+    features: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, mask_out):
+        y = nn.Conv(self.features, (3, 3, 3), strides=(1, 1, 1),
+                    input_dilation=(2, 2, 2), padding=((1, 2), (1, 2), (1, 2)),
+                    use_bias=False, dtype=self.dtype)(x)
+        return y * mask_out
+
+
+class SparseResidual3d(nn.Module):
+    """conv-gn-relu-conv-gn(+zero-init scale) + skip, masked
+    (reference `SparseResidual3d`, `scenemodeling.py:16-44`)."""
+
+    features: int
+    num_groups: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, mask):
+        y = MaskedConv3d(self.features, dtype=self.dtype)(x, mask)
+        y = MaskedGroupNorm(self.num_groups, self.features)(y, mask)
+        y = nn.relu(y) * mask
+        y = MaskedConv3d(self.features, dtype=self.dtype)(y, mask)
+        y = MaskedGroupNorm(self.num_groups, self.features,
+                            zero_init_scale=True)(y, mask)
+        return nn.relu(y + x) * mask
+
+
+class SceneUNet(nn.Module):
+    """3-scale masked dense U-Net (dims/groups/res per reference defaults)."""
+
+    dims: Tuple[int, int, int] = (64, 128, 128)
+    n_groups: Tuple[int, int, int] = (4, 8, 8)
+    n_res: Tuple[int, int, int] = (1, 2, 3)
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, grid, mask):
+        """grid: [B, gx, gy, gz, dims[0]]; mask: [B, gx, gy, gz, 1].
+
+        Returns a list of scale dicts coarsest-first:
+          {"grid": [B, x, y, z, C], "mask": ..., "stride": int}
+        """
+        L = len(self.dims)
+        masks = [mask]
+        for _ in range(L - 1):
+            masks.append(downsample_mask(masks[-1]))
+
+        # encoder
+        x = grid * mask
+        skips = []
+        for lvl in range(L):
+            if lvl > 0:
+                x = MaskedConv3d(self.dims[lvl], strides=2, use_bias=True,
+                                 dtype=self.dtype)(x, masks[lvl])
+                x = MaskedGroupNorm(self.n_groups[lvl], self.dims[lvl])(
+                    x, masks[lvl])
+                x = nn.relu(x) * masks[lvl]
+            for _ in range(self.n_res[lvl]):
+                x = SparseResidual3d(self.dims[lvl], self.n_groups[lvl],
+                                     self.dtype)(x, masks[lvl])
+            skips.append(x)
+
+        # decoder: coarsest-first output list, like the reference
+        out = [{"grid": skips[-1], "mask": masks[-1], "stride": 2 ** (L - 1)}]
+        x = skips[-1]
+        for lvl in range(L - 2, -1, -1):
+            x = MaskedUpConv3d(self.dims[lvl], self.dtype)(x, masks[lvl])
+            x = MaskedGroupNorm(self.n_groups[lvl], self.dims[lvl])(x, masks[lvl])
+            x = nn.relu(x) * masks[lvl]
+            x = jnp.concatenate([x, skips[lvl]], axis=-1)
+            x = MaskedConv3d(self.dims[lvl], kernel=1, use_bias=True,
+                             dtype=self.dtype)(x, masks[lvl])
+            x = MaskedGroupNorm(self.n_groups[lvl], self.dims[lvl])(x, masks[lvl])
+            x = nn.relu(x) * masks[lvl]
+            for _ in range(self.n_res[lvl]):
+                x = SparseResidual3d(self.dims[lvl], self.n_groups[lvl],
+                                     self.dtype)(x, masks[lvl])
+            out.append({"grid": x, "mask": masks[lvl], "stride": 2 ** lvl})
+        return out

@@ -19,6 +19,23 @@ from tdvnet.ops import camera
 from tdvnet.ops.sampling import bilinear_sample_batched
 
 
+# fp32-element budget for one sampled [R, P_chunk, C] tensor (~256 MB);
+# the point axis is scanned in chunks so whole-scene eval never
+# materializes multi-GB feature tensors
+_CHUNK_BUDGET_ELEMS = 64 * 1024 * 1024
+
+
+def _pick_chunks(R: int, P: int, C: int) -> int:
+    """Largest chunk count dividing P such that R*(P/n)*C fits the budget."""
+    need = (R * P * C + _CHUNK_BUDGET_ELEMS - 1) // _CHUNK_BUDGET_ELEMS
+    if need <= 1:
+        return 1
+    for n in range(int(need), P + 1):
+        if P % n == 0:
+            return n
+    return P
+
+
 def _source_variance(pts_world: jnp.ndarray, feats: jnp.ndarray,
                      src_idx: jnp.ndarray, src_mask: jnp.ndarray,
                      P_all: jnp.ndarray, img_size: Tuple[int, int]):
@@ -40,24 +57,36 @@ def _source_variance(pts_world: jnp.ndarray, feats: jnp.ndarray,
     sx = (Wf - 1.0) / (W - 1.0)
     sy = (Hf - 1.0) / (H - 1.0)
     scale = jnp.array([sx, sy], dtype=jnp.float32)
+    cnt = jnp.maximum(jnp.sum(src_mask.astype(jnp.float32), axis=1), 1.0)
 
-    def body(carry, s):
-        acc, acc_sq, cnt = carry
-        idx = src_idx[:, s]                      # [R]
-        xy, _ = camera.project_points(pts_world, P_all[idx])   # [R, P, 2]
-        f = bilinear_sample_batched(feats[idx], xy * scale)    # [R, P, C]
-        f = f.astype(jnp.float32)
-        m = src_mask[:, s].astype(jnp.float32)[:, None, None]
-        return (acc + f * m, acc_sq + f * f * m,
-                cnt + src_mask[:, s].astype(jnp.float32)), None
+    def variance_of(pts_chunk):
+        Pc = pts_chunk.shape[1]
 
-    init = (jnp.zeros((R, P, C), jnp.float32),
-            jnp.zeros((R, P, C), jnp.float32),
-            jnp.zeros((R,), jnp.float32))
-    (acc, acc_sq, cnt), _ = jax.lax.scan(body, init, jnp.arange(S))
-    denom = jnp.maximum(cnt, 1.0)[:, None, None]
-    mean = acc / denom
-    var = acc_sq / denom - mean * mean
+        def body(carry, s):
+            acc, acc_sq = carry
+            idx = src_idx[:, s]                  # [R]
+            xy, _ = camera.project_points(pts_chunk, P_all[idx])
+            f = bilinear_sample_batched(feats[idx], xy * scale)
+            f = f.astype(jnp.float32)
+            m = src_mask[:, s].astype(jnp.float32)[:, None, None]
+            return (acc + f * m, acc_sq + f * f * m), None
+
+        init = (jnp.zeros((R, Pc, C), jnp.float32),
+                jnp.zeros((R, Pc, C), jnp.float32))
+        (acc, acc_sq), _ = jax.lax.scan(body, init, jnp.arange(S))
+        denom = cnt[:, None, None]
+        mean = acc / denom
+        return acc_sq / denom - mean * mean, mean
+
+    n_chunks = _pick_chunks(R, P, C)
+    if n_chunks == 1:
+        return variance_of(pts_world)
+    Pc = P // n_chunks
+    pts_c = pts_world.reshape(R, n_chunks, Pc, 3).transpose(1, 0, 2, 3)
+    _, (var_c, mean_c) = jax.lax.scan(
+        lambda _, p: (None, variance_of(p)), None, pts_c)
+    var = var_c.transpose(1, 0, 2, 3).reshape(R, P, C)
+    mean = mean_c.transpose(1, 0, 2, 3).reshape(R, P, C)
     return var, mean
 
 

@@ -1,0 +1,111 @@
+"""Data-parallel training over scenes via shard_map + psum.
+
+Design (SURVEY §2.4, §5.8): each device owns whole scenes — every gather in
+the model (src_idx, ref_idx, scene segment ids) is then device-local, so the
+only collective in the step is the gradient/metric psum riding ICI.  The
+global batch is a concatenation of per-device sub-batches whose index arrays
+are *local* (the collator already emits local indices per batch; stacking
+shards preserves them).
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from tdvnet.config import Config
+from tdvnet.data.batch import FrameBatch
+
+
+def stack_shards(batches) -> FrameBatch:
+    """Stack per-device FrameBatches along a leading device axis."""
+    def cat(*xs):
+        return jnp.stack(xs, axis=0)
+
+    stacked = jax.tree_util.tree_map(cat, *batches)
+    return dataclasses.replace(stacked, n_scenes=batches[0].n_scenes)
+
+
+def make_dp_train_step(model, cfg: Config, n_iters: int, mesh: Mesh,
+                       axis: str = "data"):
+    """Sharded train step: batch arrays carry a leading device axis sharded
+    over `axis`; grads are psum-averaged inside shard_map."""
+    offsets = list(cfg.train.offsets)
+    bb_train = bool(cfg.train.finetune)
+
+    def local_grads(params, batch_stats, local_batch: FrameBatch, lam):
+        def loss_fn(p):
+            out, updates = model.apply(
+                {"params": p, "batch_stats": batch_stats}, local_batch,
+                offsets=offsets, n_iters=n_iters, lam=lam, train=True,
+                with_metrics=False, backbone_train=bb_train,
+                mutable=["batch_stats"])
+            return out["loss"], updates["batch_stats"]
+
+        (loss, new_stats), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params)
+        grads = jax.lax.pmean(grads, axis)
+        loss = jax.lax.pmean(loss, axis)
+        new_stats = jax.lax.pmean(new_stats, axis)
+        return grads, loss, new_stats
+
+    def shard_step(state, sharded_batch: FrameBatch, lam):
+        def body(batch_shard):
+            # drop the leading device axis (size 1 inside the shard)
+            local = jax.tree_util.tree_map(lambda x: x[0], batch_shard)
+            local = dataclasses.replace(local,
+                                        n_scenes=sharded_batch.n_scenes)
+            return local_grads(state.params, state.batch_stats, local, lam)
+
+        grads, loss, new_stats = jax.shard_map(
+            body, mesh=mesh,
+            in_specs=(jax.tree_util.tree_map(lambda _: P(axis), sharded_batch),),
+            out_specs=(P(), P(), P()),
+            check_vma=False)(sharded_batch)
+        state = state.apply_gradients(grads=grads)
+        state = state.replace(batch_stats=new_stats)
+        return state, {"loss": loss}
+
+    return jax.jit(shard_step, donate_argnums=(0,))
+
+
+def shard_train_step_dryrun(n_devices: int) -> None:
+    """Driver hook: one DP-sharded training step on tiny shapes over an
+    n-device mesh (virtual CPU devices ok)."""
+    from tdvnet.config import tiny_test_config
+    from tdvnet.data import batch as B, synthetic
+    from tdvnet.train.loop import create_state
+
+    devices = jax.devices()[:n_devices]
+    mesh = Mesh(np.asarray(devices), ("data",))
+
+    cfg = tiny_test_config()
+    bc = cfg.batch
+    shards = []
+    for d in range(n_devices):
+        scenes = [synthetic.make_batch_scene(bc.n_views, bc.img_size,
+                                             bc.depth_img_size,
+                                             seed=100 * d + s)
+                  for s in range(bc.n_scenes)]
+        shards.append(B.collate_scenes(scenes, bc.n_views, bc.n_ref,
+                                       bc.n_src_on_either_side))
+    sharded = stack_shards(shards)
+    sharded = jax.device_put(
+        sharded, jax.tree_util.tree_map(
+            lambda _: NamedSharding(mesh, P("data")), sharded))
+
+    model, state = create_state(cfg, jax.random.PRNGKey(0), shards[0])
+    state = jax.device_put(
+        state, jax.tree_util.tree_map(
+            lambda _: NamedSharding(mesh, P()), state))
+
+    step = make_dp_train_step(model, cfg, n_iters=1, mesh=mesh)
+    state, mets = step(state, sharded, jnp.float32(0.5))
+    loss = float(jax.device_get(mets["loss"]))
+    assert np.isfinite(loss), loss
+    print(f"dp train step over {n_devices} devices: loss={loss:.4f}")

@@ -1,0 +1,68 @@
+"""Orbax checkpointing of params/opt-state/batch-stats + hparams JSON.
+
+Reproduces the reference's self-describing Lightning checkpoints
+(`save_hyperparameters` + `load_from_checkpoint`,
+`mv3d/lightningmodel.py:33`, `mv3d/finetune.py:11-12`): the config is stored
+alongside the state so a checkpoint restores into a correctly-shaped model.
+"""
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from typing import Any, Optional, Tuple
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+
+def _cfg_to_json(cfg) -> str:
+    def enc(o):
+        if dataclasses.is_dataclass(o):
+            return {f.name: enc(getattr(o, f.name)) for f in dataclasses.fields(o)}
+        if isinstance(o, (tuple, list)):
+            return [enc(x) for x in o]
+        if isinstance(o, type) or hasattr(o, "dtype") or str(o).startswith("<class"):
+            return str(o)
+        try:
+            json.dumps(o)
+            return o
+        except TypeError:
+            return str(o)
+
+    return json.dumps(enc(cfg), indent=2)
+
+
+def save(ckpt_dir: str, state, epoch: int, cfg=None) -> str:
+    ckpt_dir = os.path.abspath(ckpt_dir)
+    os.makedirs(ckpt_dir, exist_ok=True)
+    path = os.path.join(ckpt_dir, f"epoch_{epoch:05d}")
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(path, jax.device_get(state), force=True)
+    ckptr.wait_until_finished()
+    with open(os.path.join(ckpt_dir, "meta.json"), "w") as f:
+        json.dump({"last_epoch": epoch}, f)
+    if cfg is not None:
+        with open(os.path.join(ckpt_dir, "config.json"), "w") as f:
+            f.write(_cfg_to_json(cfg))
+    return path
+
+
+def latest_epoch(ckpt_dir: str) -> Optional[int]:
+    meta = os.path.join(ckpt_dir, "meta.json")
+    if not os.path.exists(meta):
+        return None
+    with open(meta) as f:
+        return int(json.load(f)["last_epoch"])
+
+
+def restore(ckpt_dir: str, state_template) -> Optional[Tuple[Any, int]]:
+    """Restore the latest checkpoint into the shape of `state_template`."""
+    ep = latest_epoch(ckpt_dir)
+    if ep is None:
+        return None
+    path = os.path.join(os.path.abspath(ckpt_dir), f"epoch_{ep:05d}")
+    ckptr = ocp.StandardCheckpointer()
+    restored = ckptr.restore(path, jax.device_get(state_template))
+    return restored, ep

@@ -1,0 +1,221 @@
+"""Train/val steps and the epoch loop.
+
+Replaces the reference's PyTorch-Lightning delegation
+(`mv3d/train.py:11-35`, `mv3d/lightningmodel.py:270-296`) with an explicit
+optax/flax loop:
+
+- Adam + StepLR-equivalent piecewise-constant schedule (ref :284-296);
+- λ ramp `min(epoch, 10) * 0.1` on refinement losses unless finetuning
+  (ref :65), n_iters 1→2 at epoch 20 (ref :274);
+- non-finetune regime freezes backbone BatchNorm (inference stats, no
+  affine grads — ref `freeze_batchnorm`, `mv3d/utils.py:17-21`);
+- metrics logged as scalars (tensorboardX when available, JSONL always).
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+import json
+import os
+import time
+from typing import Any, Callable, Dict, Iterable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import core, struct
+from flax.training import train_state
+
+from tdvnet.config import Config
+from tdvnet.data.batch import FrameBatch
+from tdvnet.models.threedvnet import ThreeDVNet
+
+
+class TrainState(train_state.TrainState):
+    batch_stats: core.FrozenDict = None
+
+
+def make_lr_schedule(lr: float, lr_step_epochs: int, gamma: float,
+                     steps_per_epoch: int):
+    """StepLR: lr * gamma^(epoch // lr_step) as an optax schedule."""
+
+    def sched(step):
+        epoch = step // max(steps_per_epoch, 1)
+        return lr * gamma ** (epoch // lr_step_epochs)
+
+    return sched
+
+
+def _backbone_bn_labels(params) -> Any:
+    """Pytree of labels: 'frozen' for backbone BatchNorm scale/bias (not
+    trained when not finetuning, like the reference's `freeze_batchnorm`),
+    'train' elsewhere."""
+
+    def walk(tree, path):
+        if isinstance(tree, (dict, core.FrozenDict)):
+            return {k: walk(v, path + (k,)) for k, v in tree.items()}
+        in_backbone = any(p == "backbone" for p in path)
+        is_bn = any(p.startswith("BatchNorm") for p in path if isinstance(p, str))
+        return "frozen" if (in_backbone and is_bn) else "train"
+
+    return walk(params, ())
+
+
+def create_state(cfg: Config, rng, batch: FrameBatch,
+                 steps_per_epoch: int = 100) -> Tuple[ThreeDVNet, TrainState]:
+    model = ThreeDVNet(cfg.model)
+    # jit the init: un-jitted tracing dispatches op-by-op (pathological
+    # through the axon TPU tunnel — each op is a roundtrip)
+    init_fn = jax.jit(lambda r, b: model.init(
+        r, b, offsets=list(cfg.train.offsets), n_iters=1, lam=0.0,
+        train=False))
+    variables = init_fn(rng, batch)
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", core.FrozenDict())
+
+    t = cfg.train
+    lr = t.finetune_lr if t.finetune else t.lr
+    step_e = t.finetune_lr_step if t.finetune else t.lr_step
+    gamma = t.finetune_lr_gamma if t.finetune else t.lr_gamma
+    sched = make_lr_schedule(lr, step_e, gamma, steps_per_epoch)
+    tx = optax.adam(sched)
+    if not t.finetune:
+        tx = optax.multi_transform(
+            {"train": tx, "frozen": optax.set_to_zero()},
+            _backbone_bn_labels(params))
+
+    state = TrainState.create(apply_fn=model.apply, params=params, tx=tx,
+                              batch_stats=batch_stats)
+    return model, state
+
+
+def lambda_for_epoch(cfg: Config, epoch: int) -> float:
+    t = cfg.train
+    return 1.0 if t.finetune else min(epoch, t.lambda_ramp_epochs) * 0.1
+
+
+def n_iters_for_epoch(cfg: Config, epoch: int) -> int:
+    t = cfg.train
+    if t.finetune or epoch >= t.iters_switch_epoch:
+        return t.n_iters_late
+    return t.n_iters_early
+
+
+def make_train_step(model: ThreeDVNet, cfg: Config, n_iters: int,
+                    donate: bool = True):
+    """Build a jitted train step for a fixed (static) n_iters.
+
+    The λ weight is a traced scalar so epoch ramping never recompiles.
+    Backbone BN stays in inference mode when not finetuning (train flag still
+    updates the other BN layers' running stats).
+    """
+    offsets = list(cfg.train.offsets)
+    bb_train = bool(cfg.train.finetune)
+
+    def step(state: TrainState, batch: FrameBatch, lam: jnp.ndarray):
+        def loss_fn(params):
+            out, updates = state.apply_fn(
+                {"params": params, "batch_stats": state.batch_stats},
+                batch, offsets=offsets, n_iters=n_iters, lam=lam,
+                train=True, with_metrics=False, backbone_train=bb_train,
+                mutable=["batch_stats"])
+            return out["loss"], (out, updates["batch_stats"])
+
+        (loss, (out, new_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        state = state.apply_gradients(grads=grads)
+        state = state.replace(batch_stats=new_stats)
+        metrics = {"loss": loss, "loss_2d": out["loss_2d"]}
+        return state, metrics
+
+    return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+
+def make_eval_step(model: ThreeDVNet, cfg: Config, n_iters: int = 2):
+    offsets = list(cfg.train.offsets)
+
+    @jax.jit
+    def step(state: TrainState, batch: FrameBatch):
+        out = state.apply_fn(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            batch, offsets=offsets, n_iters=n_iters, lam=1.0, train=False)
+        mets = {("initial/" + k): v for k, v in out["initial"].items()}
+        mets.update({("final/" + k): v for k, v in out["final"].items()})
+        mets["loss"] = out["loss"]
+        return mets
+
+    return step
+
+
+class MetricsLogger:
+    """JSONL metrics log + optional tensorboardX scalars (ref: wandb)."""
+
+    def __init__(self, log_dir: str, use_tensorboard: bool = True):
+        os.makedirs(log_dir, exist_ok=True)
+        self.jsonl = open(os.path.join(log_dir, "metrics.jsonl"), "a")
+        self.tb = None
+        if use_tensorboard:
+            try:
+                from tensorboardX import SummaryWriter
+
+                self.tb = SummaryWriter(log_dir)
+            except Exception:
+                self.tb = None
+
+    def log(self, step: int, metrics: Dict[str, Any], prefix: str = "train"):
+        rec = {"step": step, "ts": time.time()}
+        for k, v in metrics.items():
+            v = float(v)
+            rec[f"{prefix}/{k}"] = v
+            if self.tb is not None:
+                self.tb.add_scalar(f"{prefix}/{k}", v, step)
+        self.jsonl.write(json.dumps(rec) + "\n")
+        self.jsonl.flush()
+
+    def close(self):
+        self.jsonl.close()
+        if self.tb is not None:
+            self.tb.close()
+
+
+def fit(cfg: Config, train_batches: Iterable, val_batches: Callable[[], Iterable],
+        n_epochs: int, log_dir: str = "runs/tdvnet",
+        ckpt_dir: Optional[str] = None, resume: bool = False):
+    """Minimal epoch loop over pre-collated FrameBatch iterables."""
+    from tdvnet.train import checkpoints as ckpt_lib
+
+    batches = list(train_batches)
+    steps_per_epoch = max(len(batches), 1)
+    rng = jax.random.PRNGKey(cfg.train.seed)
+    model, state = create_state(cfg, rng, batches[0], steps_per_epoch)
+    start_epoch = 0
+    if resume and ckpt_dir is not None:
+        restored = ckpt_lib.restore(ckpt_dir, state)
+        if restored is not None:
+            state, start_epoch = restored
+
+    logger = MetricsLogger(log_dir, cfg.train.use_tensorboard)
+    step_fns = {}
+    gstep = start_epoch * steps_per_epoch
+    for epoch in range(start_epoch, n_epochs):
+        n_it = n_iters_for_epoch(cfg, epoch)
+        if n_it not in step_fns:
+            step_fns[n_it] = make_train_step(model, cfg, n_it)
+        lam = jnp.float32(lambda_for_epoch(cfg, epoch))
+        for batch in batches:
+            state, mets = step_fns[n_it](state, batch, lam)
+            if gstep % cfg.train.log_every == 0:
+                logger.log(gstep, mets, "train")
+            gstep += 1
+        if ckpt_dir is not None and (epoch + 1) % cfg.train.ckpt_every_epochs == 0:
+            ckpt_lib.save(ckpt_dir, state, epoch + 1, cfg)
+        # validation
+        ev = make_eval_step(model, cfg)
+        vals = [ev(state, b) for b in val_batches()]
+        if vals:
+            agg = {k: float(np.mean([float(v[k]) for v in vals]))
+                   for k in vals[0]}
+            logger.log(gstep, agg, "val")
+    logger.close()
+    return model, state

@@ -75,3 +75,33 @@ def test_masked_mean_var(rng):
         np.testing.assert_allclose(np.asarray(mean)[i], sel.mean(0), rtol=1e-5)
         np.testing.assert_allclose(np.asarray(var)[i], sel.var(0), rtol=1e-4,
                                    atol=1e-6)
+
+
+def test_source_variance_chunked_matches_unchunked(rng):
+    """The memory-chunked point-axis scan must be numerically identical."""
+    import jax.numpy as jnp
+    from tdvnet.ops import camera, costvolume
+
+    R, P, S, C = 2, 120, 3, 4
+    feats = jnp.asarray(rng.normal(size=(4, 9, 11, C)).astype(np.float32))
+    pts = jnp.asarray(rng.uniform(-1, 1, size=(R, P, 3)).astype(np.float32))
+    src_idx = jnp.asarray(rng.integers(0, 4, size=(R, S)).astype(np.int32))
+    src_mask = jnp.asarray(rng.uniform(size=(R, S)) > 0.3)
+    K = jnp.asarray(np.tile(np.array([[8.0, 0, 5], [0, 8.0, 4], [0, 0, 1]],
+                                     np.float32), (4, 1, 1)))
+    Rm = jnp.asarray(np.tile(np.eye(3, dtype=np.float32), (4, 1, 1)))
+    t = jnp.asarray(rng.normal(size=(4, 3)).astype(np.float32) * 0.1
+                    + np.array([0, 0, 3], np.float32))
+    P_all = camera.projection_matrix(K, Rm, t)
+
+    v1, m1 = costvolume._source_variance(pts, feats, src_idx, src_mask,
+                                         P_all, (9, 11))
+    old = costvolume._CHUNK_BUDGET_ELEMS
+    try:
+        costvolume._CHUNK_BUDGET_ELEMS = R * (P // 6) * C  # force 6 chunks
+        v2, m2 = costvolume._source_variance(pts, feats, src_idx, src_mask,
+                                             P_all, (9, 11))
+    finally:
+        costvolume._CHUNK_BUDGET_ELEMS = old
+    np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(m1), np.asarray(m2), atol=1e-6)

@@ -1,0 +1,96 @@
+"""Training-loop behavior: schedules, regimes, loss decreases, checkpoints."""
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from tdvnet.config import tiny_test_config
+from tdvnet.data import batch as B, synthetic
+from tdvnet.train import loop as L
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = tiny_test_config()
+    bc = cfg.batch
+    scenes = [synthetic.make_batch_scene(bc.n_views, bc.img_size,
+                                         bc.depth_img_size, seed=s)
+              for s in range(bc.n_scenes)]
+    fb = B.collate_scenes(scenes, bc.n_views, bc.n_ref,
+                          bc.n_src_on_either_side)
+    model, state = L.create_state(cfg, jax.random.PRNGKey(0), fb,
+                                  steps_per_epoch=1)
+    return cfg, fb, model, state
+
+
+def test_schedules():
+    cfg = tiny_test_config()
+    assert L.lambda_for_epoch(cfg, 0) == 0.0
+    assert abs(L.lambda_for_epoch(cfg, 5) - 0.5) < 1e-9
+    assert L.lambda_for_epoch(cfg, 50) == 1.0
+    assert L.n_iters_for_epoch(cfg, 0) == 1
+    assert L.n_iters_for_epoch(cfg, 25) == 2
+    sched = L.make_lr_schedule(1e-3, 100, 0.1, steps_per_epoch=10)
+    assert abs(sched(0) - 1e-3) < 1e-12
+    assert abs(sched(999) - 1e-3) < 1e-12      # epoch 99
+    assert abs(sched(1000) - 1e-4) < 1e-12     # epoch 100
+
+
+def test_train_step_decreases_loss(setup):
+    cfg, fb, model, state = setup
+    step = L.make_train_step(model, cfg, n_iters=1, donate=False)
+    lam = jnp.float32(0.5)
+    state1, m0 = step(state, fb, lam)
+    losses = [float(m0["loss"])]
+    s = state1
+    for _ in range(6):
+        s, m = step(s, fb, lam)
+        losses.append(float(m["loss"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0], losses
+
+
+def test_backbone_bn_frozen_when_not_finetune(setup):
+    cfg, fb, model, state = setup
+    step = L.make_train_step(model, cfg, n_iters=1, donate=False)
+    new_state, _ = step(state, fb, jnp.float32(0.5))
+
+    def bn_leaves(tree, path=()):
+        out = {}
+        if isinstance(tree, dict):
+            for k, v in tree.items():
+                out.update(bn_leaves(v, path + (k,)))
+        else:
+            if any(str(p).startswith("BatchNorm") for p in path) and \
+                    "backbone" in [str(p) for p in path]:
+                out["/".join(map(str, path))] = tree
+        return out
+
+    before = bn_leaves(state.params)
+    after = bn_leaves(new_state.params)
+    assert before, "no backbone BN params found"
+    for k in before:
+        np.testing.assert_array_equal(np.asarray(before[k]),
+                                      np.asarray(after[k]))
+    # backbone BN running stats unchanged too (inference mode)
+    bs_before = bn_leaves(state.batch_stats)
+    bs_after = bn_leaves(new_state.batch_stats)
+    for k in bs_before:
+        np.testing.assert_array_equal(np.asarray(bs_before[k]),
+                                      np.asarray(bs_after[k]))
+
+
+def test_checkpoint_roundtrip(setup, tmp_path):
+    from tdvnet.train import checkpoints as C
+
+    cfg, fb, model, state = setup
+    d = str(tmp_path / "ckpt")
+    C.save(d, state, epoch=3, cfg=cfg)
+    restored, ep = C.restore(d, state)
+    assert ep == 3
+    orig = jax.tree_util.tree_leaves(state.params)
+    rest = jax.tree_util.tree_leaves(restored.params)
+    for a, b in zip(orig, rest):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

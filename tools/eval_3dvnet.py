@@ -1,0 +1,78 @@
+"""Whole-scene evaluation entry (reference `mv3d/eval-3dvnet.py`).
+
+Usage:
+  python tools/eval_3dvnet.py --ckpt-dir ckpts/3dvnet --dataset scannet \
+      --scannet-dir /data/scannet
+  python tools/eval_3dvnet.py --ckpt-dir ckpts/3dvnet \
+      --dataset synthetic:/tmp/synth --save-dir eval_results
+"""
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--ckpt-dir", required=True)
+    ap.add_argument("--dataset", default="scannet")
+    ap.add_argument("--scannet-dir", default=None)
+    ap.add_argument("--icl-dir", default=None)
+    ap.add_argument("--tum-dir", default=None)
+    ap.add_argument("--save-dir", default="eval_results")
+    ap.add_argument("--name", default="3dvnet")
+    ap.add_argument("--overwrite", action="store_true")
+    ap.add_argument("--eval-grid", type=int, nargs=3, default=None,
+                    help="scene grid cells (x y z), default from config")
+    ap.add_argument("--max-anchors", type=int, default=None)
+    args = ap.parse_args()
+
+    from tdvnet.config import load_config
+    from tdvnet.data import batch as B, synthetic
+    from tdvnet.eval.harness import main as harness_main, make_3dvnet_pred_fn
+    from tdvnet.models.threedvnet import ThreeDVNet
+    from tdvnet.train import checkpoints as C
+    from tdvnet.train.loop import create_state
+
+    overrides = {"eval": {"dataset_type": args.dataset,
+                          "save_dir": args.save_dir}}
+    if args.eval_grid:
+        overrides["eval"]["eval_grid_size"] = tuple(args.eval_grid)
+    if args.max_anchors:
+        overrides["eval"]["eval_max_anchors"] = args.max_anchors
+    data_over = {}
+    if args.scannet_dir:
+        data_over["scannet_dir"] = args.scannet_dir
+    if args.icl_dir:
+        data_over["icl_nuim_dir"] = args.icl_dir
+    if args.tum_dir:
+        data_over["tum_rgbd_dir"] = args.tum_dir
+    if data_over:
+        overrides["data"] = data_over
+    cfg = load_config(overrides)
+
+    # build a state template from a tiny synthetic batch, restore checkpoint
+    bc = cfg.batch
+    fb = B.collate_scenes(
+        [synthetic.make_batch_scene(bc.n_views, bc.img_size,
+                                    bc.depth_img_size, seed=0)],
+        bc.n_views, bc.n_ref, bc.n_src_on_either_side)
+    model, state = create_state(cfg, jax.random.PRNGKey(0), fb)
+    restored = C.restore(args.ckpt_dir, state)
+    if restored is None:
+        raise FileNotFoundError(f"no checkpoint in {args.ckpt_dir}")
+    state, epoch = restored
+    print(f"restored epoch {epoch} from {args.ckpt_dir}")
+
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    pred_fn = make_3dvnet_pred_fn(model, variables, cfg)
+    harness_main(args.name, pred_fn, cfg, depth=True,
+                 overwrite=args.overwrite)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,87 @@
+"""Training entry (reference `mv3d/train.py` / `mv3d/finetune.py`).
+
+Data comes from `info.json` scenes; with --synthetic N a synthetic dataset
+is generated on the fly so the loop runs without real data.
+
+Usage:
+  python tools/train_3dvnet.py --scannet-dir /data/scannet --epochs 120
+  python tools/train_3dvnet.py --synthetic 8 --epochs 2     # smoke run
+  python tools/train_3dvnet.py --finetune --ckpt ckpts/...  # finetune regime
+"""
+import argparse
+import os
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scannet-dir", default=None)
+    ap.add_argument("--synthetic", type=int, default=0,
+                    help="train on N generated synthetic scenes")
+    ap.add_argument("--epochs", type=int, default=120)
+    ap.add_argument("--finetune", action="store_true")
+    ap.add_argument("--ckpt-dir", default="ckpts/3dvnet")
+    ap.add_argument("--log-dir", default="runs/3dvnet")
+    ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--batch-scenes", type=int, default=2)
+    ap.add_argument("--steps-per-epoch", type=int, default=None,
+                    help="cap batches per epoch")
+    args = ap.parse_args()
+
+    from tdvnet.config import load_config
+    from tdvnet.data import batch as B
+    from tdvnet.data.dataset import Dataset
+    from tdvnet.data.frameselector import (BestPoseDistSelector,
+                                           RangePoseDistSelector)
+    from tdvnet.data import scenelists
+    from tdvnet.train.loop import fit
+
+    cfg = load_config({"train": {"finetune": args.finetune},
+                       "batch": {"n_scenes": args.batch_scenes}})
+    bc = cfg.batch
+
+    if args.synthetic:
+        from tools.make_synthetic_dataset import make_scene_dir
+
+        root = tempfile.mkdtemp(prefix="tdvnet_synth_")
+        scene_dirs = [make_scene_dir(root, f"s{i:03d}", 16, bc.img_size, i)
+                      for i in range(args.synthetic)]
+        train_dirs = val_dirs = scene_dirs
+    else:
+        assert args.scannet_dir, "--scannet-dir or --synthetic required"
+        train_dirs = scenelists.get_scenes_scannet(args.scannet_dir, "train")
+        val_dirs = scenelists.get_scenes_scannet(args.scannet_dir, "val")
+
+    train_sel = RangePoseDistSelector(0.125, 0.325, cfg.data.img_interval)
+    val_sel = BestPoseDistSelector(0.225, cfg.data.img_interval)
+    train_dset = Dataset(train_dirs, train_sel, bc.n_ref,
+                         depth_img_size=bc.depth_img_size,
+                         img_size=bc.img_size, augment=True,
+                         n_src_on_either_side=bc.n_src_on_either_side)
+    val_dset = Dataset(val_dirs, val_sel, bc.n_ref,
+                       depth_img_size=bc.depth_img_size,
+                       img_size=bc.img_size, augment=False,
+                       n_src_on_either_side=bc.n_src_on_either_side)
+
+    def batches(dset, limit=None):
+        idx = np.arange(len(dset))
+        out = []
+        for i in range(0, len(idx) - bc.n_scenes + 1, bc.n_scenes):
+            out.append(dset.get_batch(idx[i:i + bc.n_scenes], bc.n_views,
+                                      bc.n_ref))
+            if limit and len(out) >= limit:
+                break
+        return out
+
+    train_batches = batches(train_dset, args.steps_per_epoch)
+    fit(cfg, train_batches, lambda: batches(val_dset, 4), args.epochs,
+        log_dir=args.log_dir, ckpt_dir=args.ckpt_dir, resume=args.resume)
+
+
+if __name__ == "__main__":
+    main()
