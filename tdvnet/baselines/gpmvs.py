@@ -94,9 +94,10 @@ class _UpConv(nn.Module):
     features: int
 
     @nn.compact
-    def __call__(self, x, train=False):
-        x = resize_nearest(x.transpose(0, 3, 1, 2),
-                           (x.shape[1] * 2, x.shape[2] * 2)).transpose(
+    def __call__(self, x, out_hw, train=False):
+        """Upsample to the skip connection's spatial shape (handles odd
+        dims that a blind 2x upsample would misalign)."""
+        x = resize_nearest(x.transpose(0, 3, 1, 2), out_hw).transpose(
             0, 2, 3, 1)
         bn = nn.BatchNorm(use_running_average=not train, momentum=0.9)
         return nn.relu(bn(nn.Conv(self.features, (3, 3), padding="SAME",
@@ -117,26 +118,28 @@ class Encoder(nn.Module):
 
 class Decoder(nn.Module):
     @nn.compact
-    def __call__(self, c5, c4, c3, c2, c1, train=False):
+    def __call__(self, c5, c4, c3, c2, c1, out_hw=None, train=False):
         disp = lambda f: nn.sigmoid(nn.Conv(1, (3, 3), padding="SAME")(f))
-        up = lambda f, x: _UpConv(f)(x, train)
+        up = lambda f, x, hw: _UpConv(f)(x, hw, train)
         cv = lambda f, x: _Conv(f)(x, train)
-        u5 = up(512, c5)
+        if out_hw is None:
+            out_hw = (2 * c1.shape[1], 2 * c1.shape[2])
+        u5 = up(512, c5, c4.shape[1:3])
         i5 = cv(512, jnp.concatenate([u5, c4], -1))
-        u4 = up(512, i5)
+        u4 = up(512, i5, c3.shape[1:3])
         i4 = cv(512, jnp.concatenate([u4, c3], -1))
         d4 = 2.0 * disp(i4)
-        u3 = up(256, i4)
+        u3 = up(256, i4, c2.shape[1:3])
         ud4 = resize_nearest(d4.transpose(0, 3, 1, 2),
                              (u3.shape[1], u3.shape[2])).transpose(0, 2, 3, 1)
         i3 = cv(256, jnp.concatenate([u3, c2, ud4], -1))
         d3 = 2.0 * disp(i3)
-        u2 = up(128, i3)
+        u2 = up(128, i3, c1.shape[1:3])
         ud3 = resize_nearest(d3.transpose(0, 3, 1, 2),
                              (u2.shape[1], u2.shape[2])).transpose(0, 2, 3, 1)
         i2 = cv(128, jnp.concatenate([u2, c1, ud3], -1))
         d2 = 2.0 * disp(i2)
-        u1 = up(64, i2)
+        u1 = up(64, i2, out_hw)
         ud2 = resize_nearest(d2.transpose(0, 3, 1, 2),
                              (u1.shape[1], u1.shape[2])).transpose(0, 2, 3, 1)
         i1 = cv(64, jnp.concatenate([u1, ud2], -1))
@@ -194,7 +197,7 @@ class GPMVS(nn.Module):
         L = c5.shape[0]
         Y = c5.reshape(L, -1)
         Z = self.gp(D, Y).reshape(c5.shape)
-        disps = self.decoder(Z, c4, c3, c2, c1, train)
+        disps = self.decoder(Z, c4, c3, c2, c1, images.shape[1:3], train)
         idepth = jnp.clip(disps[0][..., 0], 0.02, 2.0)
         return 1.0 / idepth, disps
 

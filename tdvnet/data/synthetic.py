@@ -86,7 +86,9 @@ def make_scene(n_views: int = 9, img_size: Tuple[int, int] = (64, 80),
 
     images, depths, rotmats, tvecs, poses = [], [], [], [], []
     for i in range(n_views):
-        ang = 2 * np.pi * i / max(n_views, 1) * 0.25 + rng.normal(0, 0.02)
+        # constant angular step so adjacent views always overlap well
+        # (~5.7 deg between outward-looking neighbors)
+        ang = 0.1 * i + rng.normal(0, 0.02)
         radius = extent * 0.22
         c = np.array([radius * np.cos(ang), radius * np.sin(ang),
                       height * 0.45 + rng.normal(0, 0.02)], np.float32)
