@@ -167,6 +167,64 @@ def process_depth_3d_metrics(scene_dir: str, scene_save_dir: str,
     metrics = metrics3d.eval_point_clouds(pts, pts_gt, ecfg.fscore_thresh)
     metrics["n"] = int(n)
     json.dump(metrics, open(out_path, "w"))
+
+    if ecfg.run_tsdf_fusion:
+        process_depth_tsdf_metrics(scene_dir, scene_save_dir, ecfg,
+                                   mask_using_gt_mesh, overwrite,
+                                   depth_preds=depth_preds, K=K,
+                                   rotmats=rotmats, tvecs=tvecs,
+                                   images=images)
+    return metrics
+
+
+def process_depth_tsdf_metrics(scene_dir: str, scene_save_dir: str,
+                               ecfg: EvalConfig,
+                               mask_using_gt_mesh: bool = True,
+                               overwrite: bool = False, *, depth_preds=None,
+                               K=None, rotmats=None, tvecs=None,
+                               images=None) -> Optional[Dict]:
+    """TSDF-fuse the predicted depths into a mesh and score it (the
+    reference's RUN_TSDF_FUSION branch, `processresults.py:297-397`,
+    filenames `tsdf_mesh*.ply` / `metrics_tsdf*.json`)."""
+    suffix = "_masked" if mask_using_gt_mesh else ""
+    mesh_path = os.path.join(scene_save_dir, f"tsdf_mesh{suffix}.ply")
+    out_path = os.path.join(scene_save_dir, f"metrics_tsdf{suffix}.json")
+    if os.path.exists(out_path) and not overwrite:
+        return json.load(open(out_path))
+    if depth_preds is None:
+        data = np.load(os.path.join(scene_save_dir, "preds.npz"))
+        depth_preds = np.array(data["depth_preds"])
+        K, rotmats, tvecs = data["K"], data["rotmats"], data["tvecs"]
+        images = load_images(data["img_idx"], scene_dir)
+    n = depth_preds.shape[0]
+    poses = np.repeat(np.eye(4, dtype=np.float32)[None], n, 0)
+    poses[:, :3, :3] = rotmats
+    poses[:, :3, 3] = tvecs
+    if mask_using_gt_mesh:
+        depth_preds = _mask_using_gt_mesh(depth_preds, poses, K, scene_dir)
+
+    if images.shape[1:3] != depth_preds.shape[1:3]:
+        import cv2
+
+        images = np.stack([
+            cv2.resize(im, depth_preds.shape[-2:][::-1])
+            for im in images])
+    P = np.einsum("nij,njk->nik", K,
+                  np.concatenate([rotmats, tvecs[..., None]], axis=2))
+    vol = tsdf.fuse_scene(depth_preds, images.astype(np.float32),
+                          P.astype(np.float32),
+                          voxel_size=ecfg.tsdf_voxel_size,
+                          trunc_ratio=ecfg.tsdf_trunc_ratio,
+                          quantile=ecfg.tsdf_bounds_quantile,
+                          margin=ecfg.tsdf_margin,
+                          frame_batch=ecfg.tsdf_img_batch)
+    verts, faces = marching.tsdf_to_mesh(vol)
+    ply.write_ply(mesh_path, verts, faces)
+    pts = pointcloud.voxel_downsample(verts, ecfg.voxel_downsample)
+    pts_gt = _gt_mesh_points(scene_dir, ecfg.voxel_downsample)
+    metrics = metrics3d.eval_point_clouds(pts, pts_gt, ecfg.fscore_thresh)
+    metrics["n"] = int(n)
+    json.dump(metrics, open(out_path, "w"))
     return metrics
 
 

@@ -29,6 +29,8 @@ def main():
     ap.add_argument("--eval-grid", type=int, nargs=3, default=None,
                     help="scene grid cells (x y z), default from config")
     ap.add_argument("--max-anchors", type=int, default=None)
+    ap.add_argument("--bf16", action="store_true",
+                    help="bfloat16 compute (params stay fp32)")
     args = ap.parse_args()
 
     from tdvnet.config import load_config
@@ -54,6 +56,12 @@ def main():
     if data_over:
         overrides["data"] = data_over
     cfg = load_config(overrides)
+    if args.bf16:
+        import dataclasses
+        import jax.numpy as jnp
+
+        cfg = dataclasses.replace(
+            cfg, model=dataclasses.replace(cfg.model, dtype=jnp.bfloat16))
 
     # build a state template from a tiny synthetic batch, restore checkpoint
     bc = cfg.batch
