@@ -70,9 +70,14 @@ def main(save_dirname: str, pred_fn: Callable, cfg: Config,
                                   n_imgs, 0)
                 poses[:, :3, :3] = views["rotmats"]
                 poses[:, :3, 3] = views["tvecs"]
+                # render at depth_img_size: rescale K from image resolution
+                # (the reference silently requires img_size == render size
+                # for mesh methods; we scale instead)
+                K_r = views["K"][ref_sel].copy()
+                K_r[:, 0, :] *= e.depth_img_size[1] / views["images"].shape[2]
+                K_r[:, 1, :] *= e.depth_img_size[0] / views["images"].shape[1]
                 depth_preds = raster.render_scene_depths(
-                    verts, faces, poses[ref_sel], views["K"][ref_sel],
-                    e.depth_img_size)
+                    verts, faces, poses[ref_sel], K_r, e.depth_img_size)
 
             # rescale K to the prediction resolution (ref main.py:74-81)
             old_h, old_w = views["images"].shape[1:3]

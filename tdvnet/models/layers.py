@@ -55,7 +55,8 @@ class ConvTransposeUp3d(nn.Module):
 
 def masked_group_norm(x: jnp.ndarray, mask: jnp.ndarray, num_groups: int,
                       scale: jnp.ndarray, bias: jnp.ndarray,
-                      eps: float = 1e-5) -> jnp.ndarray:
+                      eps: float = 1e-5,
+                      axis_name: str | None = None) -> jnp.ndarray:
     """GroupNorm over *active* voxels only.
 
     x: [B, gx, gy, gz, C]; mask: [B, gx, gy, gz, 1] in {0,1}.
@@ -63,17 +64,25 @@ def masked_group_norm(x: jnp.ndarray, mask: jnp.ndarray, num_groups: int,
     of a sparse tensor (reference `MinkowskiGroupNorm`,
     `mv3d/subnetworks/scenemodeling.py:78-113`): statistics are computed per
     (batch, group) over active sites and the group's channels.
+
+    axis_name: when running inside shard_map over a spatially-sharded grid,
+    statistics psum over that axis so the normalization is global.
     """
     B, gx, gy, gz, C = x.shape
     G = num_groups
     xg = x.reshape(B, -1, G, C // G).astype(jnp.float32)      # [B, V, G, c]
     m = mask.reshape(B, -1, 1, 1).astype(jnp.float32)
     cnt = jnp.sum(m, axis=1) * (C // G)                        # [B, 1, 1]-ish
+    s1 = jnp.sum(xg * m, axis=(1, 3), keepdims=True)
+    s2 = jnp.sum(xg * xg * m, axis=(1, 3), keepdims=True)
+    if axis_name is not None:
+        cnt = jax.lax.psum(cnt, axis_name)
+        s1 = jax.lax.psum(s1, axis_name)
+        s2 = jax.lax.psum(s2, axis_name)
     cnt = jnp.maximum(cnt, 1.0)
-    mean = jnp.sum(xg * m, axis=(1, 3), keepdims=True) / cnt[:, None, :, None]
-    var = jnp.sum((xg - mean) ** 2 * m, axis=(1, 3), keepdims=True) \
-        / cnt[:, None, :, None]
-    xn = (xg - mean) * jax.lax.rsqrt(var + eps)
+    mean = s1 / cnt[:, None, :, None]
+    var = s2 / cnt[:, None, :, None] - mean * mean
+    xn = (xg - mean) * jax.lax.rsqrt(jnp.maximum(var, 0.0) + eps)
     xn = xn.reshape(B, gx, gy, gz, C).astype(x.dtype)
     return (xn * scale + bias) * mask
 
@@ -84,6 +93,7 @@ class MaskedGroupNorm(nn.Module):
     num_groups: int
     features: int
     zero_init_scale: bool = False
+    axis_name: str | None = None
 
     @nn.compact
     def __call__(self, x, mask):
@@ -91,7 +101,8 @@ class MaskedGroupNorm(nn.Module):
             else nn.initializers.ones
         scale = self.param("scale", init, (self.features,))
         bias = self.param("bias", nn.initializers.zeros, (self.features,))
-        return masked_group_norm(x, mask, self.num_groups, scale, bias)
+        return masked_group_norm(x, mask, self.num_groups, scale, bias,
+                                 axis_name=self.axis_name)
 
 
 def downsample_mask(mask: jnp.ndarray) -> jnp.ndarray:

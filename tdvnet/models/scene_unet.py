@@ -17,15 +17,30 @@ The densified grid is what the reference's own dense fallback builds per
 batch (`mv3d/subnetworks/refinement.py:46-97`); here it IS the
 representation, sized by a static `GridConfig` crop.  Returns one pyramid
 dict per scale (coarsest first, like `SparseUNet.forward`).
+
+Spatial sharding (SURVEY §5.7, config 5): every layer takes an optional
+`axis_name`.  When set — running inside `shard_map` with the grid's x-axis
+sharded over that mesh axis — convs exchange 1-voxel halos via `ppermute`
+(`tdvnet.parallel.halo`) and GroupNorm psums its statistics, making the
+sharded U-Net numerically identical to the unsharded one with the same
+params (tests/test_parallel_halo.py).  Requires the local x-extent to stay
+even through every stride-2 level.
 """
 from __future__ import annotations
 
-from typing import Sequence, Tuple
+from typing import Optional, Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
 from tdvnet.models.layers import MaskedGroupNorm, downsample_mask
+
+
+def _halo_x(x, axis_name):
+    from tdvnet.parallel.halo import exchange_halo_x
+
+    return exchange_halo_x(x, axis_name, 1)
 
 
 class MaskedConv3d(nn.Module):
@@ -34,13 +49,29 @@ class MaskedConv3d(nn.Module):
     kernel: int = 3
     use_bias: bool = False
     dtype: jnp.dtype = jnp.float32
+    axis_name: Optional[str] = None
 
     @nn.compact
     def __call__(self, x, mask_out):
         k, s = self.kernel, self.strides
-        y = nn.Conv(self.features, (k, k, k), strides=(s, s, s),
-                    padding="SAME", use_bias=self.use_bias,
-                    dtype=self.dtype)(x)
+        if self.axis_name is None or k == 1:
+            y = nn.Conv(self.features, (k, k, k), strides=(s, s, s),
+                        padding="SAME", use_bias=self.use_bias,
+                        dtype=self.dtype)(x)
+            return y * mask_out
+        xp = _halo_x(x, self.axis_name)
+        if s == 1:
+            # SAME(1,1) in x becomes VALID over [halo, x, halo]
+            y = nn.Conv(self.features, (k, k, k), strides=(1, 1, 1),
+                        padding=((0, 0), (1, 1), (1, 1)),
+                        use_bias=self.use_bias, dtype=self.dtype)(xp)
+        else:
+            # XLA SAME for stride 2 / kernel 3 / even extents pads (0, 1):
+            # windows start at the shard's first cell, so only the RIGHT
+            # halo is consumed in x; y/z get the same (0, 1) padding
+            y = nn.Conv(self.features, (k, k, k), strides=(s, s, s),
+                        padding=((0, 0), (0, 1), (0, 1)),
+                        use_bias=self.use_bias, dtype=self.dtype)(xp[:, 1:])
         return y * mask_out
 
 
@@ -49,12 +80,19 @@ class MaskedUpConv3d(nn.Module):
 
     features: int
     dtype: jnp.dtype = jnp.float32
+    axis_name: Optional[str] = None
 
     @nn.compact
     def __call__(self, x, mask_out):
-        y = nn.Conv(self.features, (3, 3, 3), strides=(1, 1, 1),
-                    input_dilation=(2, 2, 2), padding=((1, 2), (1, 2), (1, 2)),
-                    use_bias=False, dtype=self.dtype)(x)
+        conv = nn.Conv(self.features, (3, 3, 3), strides=(1, 1, 1),
+                       input_dilation=(2, 2, 2),
+                       padding=((1, 2), (1, 2), (1, 2)),
+                       use_bias=False, dtype=self.dtype)
+        if self.axis_name is None:
+            return conv(x) * mask_out
+        # halo-extend the coarse grid, upconv, crop the neighbors' outputs
+        xp = _halo_x(x, self.axis_name)
+        y = conv(xp)[:, 2:-2]
         return y * mask_out
 
 
@@ -65,15 +103,18 @@ class SparseResidual3d(nn.Module):
     features: int
     num_groups: int
     dtype: jnp.dtype = jnp.float32
+    axis_name: Optional[str] = None
 
     @nn.compact
     def __call__(self, x, mask):
-        y = MaskedConv3d(self.features, dtype=self.dtype)(x, mask)
-        y = MaskedGroupNorm(self.num_groups, self.features)(y, mask)
+        a = self.axis_name
+        y = MaskedConv3d(self.features, dtype=self.dtype, axis_name=a)(x, mask)
+        y = MaskedGroupNorm(self.num_groups, self.features, axis_name=a)(
+            y, mask)
         y = nn.relu(y) * mask
-        y = MaskedConv3d(self.features, dtype=self.dtype)(y, mask)
+        y = MaskedConv3d(self.features, dtype=self.dtype, axis_name=a)(y, mask)
         y = MaskedGroupNorm(self.num_groups, self.features,
-                            zero_init_scale=True)(y, mask)
+                            zero_init_scale=True, axis_name=a)(y, mask)
         return nn.relu(y + x) * mask
 
 
@@ -84,6 +125,7 @@ class SceneUNet(nn.Module):
     n_groups: Tuple[int, int, int] = (4, 8, 8)
     n_res: Tuple[int, int, int] = (1, 2, 3)
     dtype: jnp.dtype = jnp.float32
+    axis_name: Optional[str] = None
 
     @nn.compact
     def __call__(self, grid, mask):
@@ -92,7 +134,14 @@ class SceneUNet(nn.Module):
         Returns a list of scale dicts coarsest-first:
           {"grid": [B, x, y, z, C], "mask": ..., "stride": int}
         """
+        a = self.axis_name
         L = len(self.dims)
+        if a is not None:
+            assert grid.shape[1] % (2 ** (L - 1)) == 0, (
+                f"spatially-sharded SceneUNet needs the local x-extent "
+                f"({grid.shape[1]}) divisible by {2 ** (L - 1)} (stride-2 "
+                f"levels); pick grid_size[0] divisible by "
+                f"{2 ** (L - 1)} * mesh_size")
         masks = [mask]
         for _ in range(L - 1):
             masks.append(downsample_mask(masks[-1]))
@@ -103,29 +152,32 @@ class SceneUNet(nn.Module):
         for lvl in range(L):
             if lvl > 0:
                 x = MaskedConv3d(self.dims[lvl], strides=2, use_bias=True,
-                                 dtype=self.dtype)(x, masks[lvl])
-                x = MaskedGroupNorm(self.n_groups[lvl], self.dims[lvl])(
-                    x, masks[lvl])
+                                 dtype=self.dtype, axis_name=a)(x, masks[lvl])
+                x = MaskedGroupNorm(self.n_groups[lvl], self.dims[lvl],
+                                    axis_name=a)(x, masks[lvl])
                 x = nn.relu(x) * masks[lvl]
             for _ in range(self.n_res[lvl]):
                 x = SparseResidual3d(self.dims[lvl], self.n_groups[lvl],
-                                     self.dtype)(x, masks[lvl])
+                                     self.dtype, axis_name=a)(x, masks[lvl])
             skips.append(x)
 
         # decoder: coarsest-first output list, like the reference
         out = [{"grid": skips[-1], "mask": masks[-1], "stride": 2 ** (L - 1)}]
         x = skips[-1]
         for lvl in range(L - 2, -1, -1):
-            x = MaskedUpConv3d(self.dims[lvl], self.dtype)(x, masks[lvl])
-            x = MaskedGroupNorm(self.n_groups[lvl], self.dims[lvl])(x, masks[lvl])
+            x = MaskedUpConv3d(self.dims[lvl], self.dtype, axis_name=a)(
+                x, masks[lvl])
+            x = MaskedGroupNorm(self.n_groups[lvl], self.dims[lvl],
+                                axis_name=a)(x, masks[lvl])
             x = nn.relu(x) * masks[lvl]
             x = jnp.concatenate([x, skips[lvl]], axis=-1)
             x = MaskedConv3d(self.dims[lvl], kernel=1, use_bias=True,
-                             dtype=self.dtype)(x, masks[lvl])
-            x = MaskedGroupNorm(self.n_groups[lvl], self.dims[lvl])(x, masks[lvl])
+                             dtype=self.dtype, axis_name=a)(x, masks[lvl])
+            x = MaskedGroupNorm(self.n_groups[lvl], self.dims[lvl],
+                                axis_name=a)(x, masks[lvl])
             x = nn.relu(x) * masks[lvl]
             for _ in range(self.n_res[lvl]):
                 x = SparseResidual3d(self.dims[lvl], self.n_groups[lvl],
-                                     self.dtype)(x, masks[lvl])
+                                     self.dtype, axis_name=a)(x, masks[lvl])
             out.append({"grid": x, "mask": masks[lvl], "stride": 2 ** lvl})
         return out

@@ -109,3 +109,33 @@ def shard_train_step_dryrun(n_devices: int) -> None:
     loss = float(jax.device_get(mets["loss"]))
     assert np.isfinite(loss), loss
     print(f"dp train step over {n_devices} devices: loss={loss:.4f}")
+
+    # spatial sharding: halo-exchange SceneUNet over a 'space' mesh
+    _spatial_dryrun(n_devices)
+
+
+def _spatial_dryrun(n_devices: int) -> None:
+    from jax.sharding import NamedSharding
+
+    from tdvnet.models.scene_unet import SceneUNet
+
+    n_sp = min(4, n_devices)
+    mesh = Mesh(np.asarray(jax.devices()[:n_sp]), ("space",))
+    rng = np.random.default_rng(0)
+    gx = 8 * n_sp
+    grid = jnp.asarray(rng.normal(size=(1, gx, 8, 8, 8)).astype(np.float32))
+    mask = jnp.asarray((rng.uniform(size=(1, gx, 8, 8, 1)) > 0.5)
+                       .astype(np.float32))
+    net = SceneUNet((8, 12, 12), (2, 2, 2), (1, 1, 1), axis_name="space")
+    vs = SceneUNet((8, 12, 12), (2, 2, 2), (1, 1, 1)).init(
+        jax.random.PRNGKey(0), grid, mask)
+    gs = jax.device_put(grid, NamedSharding(mesh, P(None, "space")))
+    ms = jax.device_put(mask, NamedSharding(mesh, P(None, "space")))
+    out = jax.jit(jax.shard_map(
+        lambda v, g, m: net.apply(v, g, m), mesh=mesh,
+        in_specs=(P(), P(None, "space"), P(None, "space")),
+        out_specs=[{"grid": P(None, "space"), "mask": P(None, "space"),
+                    "stride": P()} for _ in range(3)],
+        check_vma=False))(vs, gs, ms)
+    assert np.isfinite(np.asarray(out[-1]["grid"])).all()
+    print(f"halo-sharded scene U-Net over {n_sp} devices: ok")

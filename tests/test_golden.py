@@ -1,0 +1,41 @@
+"""Golden-value regression of the full flagship forward on fixed seeds
+(SURVEY §4: the reference has no tests; golden values pin our numerics on
+CPU so refactors that silently change behavior fail loudly).
+
+Regenerate with the snippet in this file's history if an *intentional*
+numerics change lands (document why in the commit message).
+"""
+import numpy as np
+import jax
+import pytest
+
+from tdvnet.config import tiny_test_config
+from tdvnet.data import batch as B, synthetic
+
+GOLDEN_LOSS = 27.186498641967773
+GOLDEN_DEPTH_MEAN = 0.8769168853759766
+GOLDEN_DEPTH_STD = 0.0029034148901700974
+GOLDEN_INIT_ABS_REL = 0.2552187740802765
+
+
+@pytest.mark.slow
+def test_flagship_forward_golden():
+    from tdvnet.models.threedvnet import ThreeDVNet
+
+    cfg = tiny_test_config()
+    bc = cfg.batch
+    fb = B.collate_scenes(
+        [synthetic.make_batch_scene(bc.n_views, bc.img_size,
+                                    bc.depth_img_size, seed=123)],
+        bc.n_views, bc.n_ref, bc.n_src_on_either_side)
+    m = ThreeDVNet(cfg.model)
+    vs = m.init(jax.random.PRNGKey(42), fb, offsets=[0.05], n_iters=1,
+                lam=0.5, train=False)
+    out = m.apply(vs, fb, offsets=[0.05], n_iters=1, lam=0.5, train=False,
+                  with_metrics=True)
+    d = np.asarray(out["depth_pred"])
+    assert float(out["loss"]) == pytest.approx(GOLDEN_LOSS, rel=1e-4)
+    assert float(d.mean()) == pytest.approx(GOLDEN_DEPTH_MEAN, rel=1e-4)
+    assert float(d.std()) == pytest.approx(GOLDEN_DEPTH_STD, rel=1e-2)
+    assert float(out["initial"]["abs_rel"]) == pytest.approx(
+        GOLDEN_INIT_ABS_REL, rel=1e-3)

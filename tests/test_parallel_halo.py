@@ -50,3 +50,43 @@ def test_halo_exchange_contents():
     np.testing.assert_allclose(o[0, :, 0, 0, 0], [0, 0, 1, 2])
     np.testing.assert_allclose(o[1, :, 0, 0, 0], [1, 2, 3, 4])
     np.testing.assert_allclose(o[3, :, 0, 0, 0], [5, 6, 7, 0])
+
+
+def test_sharded_scene_unet_matches_unsharded():
+    """Full SceneUNet with x-sharded grid + halo exchange == unsharded,
+    same params (SURVEY config 5: scene volume blocks + halo exchange)."""
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding
+    from tdvnet.models.scene_unet import SceneUNet
+
+    n_dev = 4
+    mesh = Mesh(np.asarray(jax.devices()[:n_dev]), ("space",))
+    rng = np.random.default_rng(1)
+    B_, gx, gy, gz, C = 1, 32, 8, 8, 8
+    grid = jnp.asarray(rng.normal(size=(B_, gx, gy, gz, C)).astype(np.float32))
+    mask = jnp.asarray((rng.uniform(size=(B_, gx, gy, gz, 1)) > 0.6)
+                       .astype(np.float32))
+
+    dims, groups, res = (8, 12, 12), (2, 2, 2), (1, 1, 1)
+    net = SceneUNet(dims, groups, res)
+    vs = net.init(jax.random.PRNGKey(0), grid, mask)
+    ref = net.apply(vs, grid, mask)
+
+    net_sh = SceneUNet(dims, groups, res, axis_name="space")
+
+    def local(v, g, m):
+        return net_sh.apply(v, g, m)
+
+    gs = jax.device_put(grid, NamedSharding(mesh, P(None, "space")))
+    ms = jax.device_put(mask, NamedSharding(mesh, P(None, "space")))
+    out = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(), P(None, "space"), P(None, "space")),
+        out_specs=[{"grid": P(None, "space"), "mask": P(None, "space"),
+                    "stride": P()} for _ in range(3)],
+        check_vma=False)(vs, gs, ms)
+
+    for o_ref, o_sh in zip(ref, out):
+        np.testing.assert_allclose(np.asarray(o_sh["grid"]),
+                                   np.asarray(o_ref["grid"]),
+                                   atol=2e-4), o_ref["stride"]
