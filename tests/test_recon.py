@@ -103,3 +103,25 @@ def test_marching_tetrahedra_sphere():
     assert verts.shape[0] > 100
     np.testing.assert_allclose(r.mean(), 5.0, atol=0.1)
     assert np.abs(r - 5.0).max() < 0.35
+
+
+def test_visualizer_contact_sheet(tmp_path, scene):
+    """Turntable PNG comparison sheet from mesh artifacts."""
+    from tdvnet.eval import visualizer
+    from tdvnet.ops import marching, ply, tsdf
+
+    P = _projections(scene)
+    colors = (scene["images"] * 255).astype(np.float32)
+    vol = tsdf.fuse_scene(scene["depth"], colors, P, voxel_size=0.08,
+                          margin=0.3, frame_batch=6)
+    verts, faces = marching.tsdf_to_mesh(vol)
+    mesh_path = str(tmp_path / "mesh.ply")
+    ply.write_ply(mesh_path, verts, faces)
+
+    out = visualizer.compare_methods(
+        "scene", {"methodA": mesh_path, "methodB": mesh_path},
+        str(tmp_path / "sheet.png"), img_size=(120, 160))
+    assert out is not None
+    import os
+
+    assert os.path.getsize(out) > 5000
