@@ -244,7 +244,12 @@ def trim_mesh(verts, faces, scene_dir: str, ecfg: EvalConfig,
     poses_w2c[:, :3, 3] = t
     K = np.repeat(K0[None], n, 0)
 
-    size = (480, 640)
+    # render at the dataset's native depth resolution (the reference
+    # hardcodes 480x640, which only matches ScanNet)
+    import cv2
+
+    d0 = cv2.imread(info["frames"][0]["filename_depth"], cv2.IMREAD_ANYDEPTH)
+    size = d0.shape[:2]
     depths = raster.render_scene_depths(verts, faces, poses_w2c, K, size)
     if mask_using_gt_mesh:
         gverts, gfaces, _ = ply.read_ply(info["gt_mesh"])

@@ -197,6 +197,7 @@ def fit(cfg: Config, train_batches: Iterable, val_batches: Callable[[], Iterable
 
     logger = MetricsLogger(log_dir, cfg.train.use_tensorboard)
     step_fns = {}
+    eval_step = make_eval_step(model, cfg)   # jitted once, reused per epoch
     gstep = start_epoch * steps_per_epoch
     for epoch in range(start_epoch, n_epochs):
         n_it = n_iters_for_epoch(cfg, epoch)
@@ -211,8 +212,7 @@ def fit(cfg: Config, train_batches: Iterable, val_batches: Callable[[], Iterable
         if ckpt_dir is not None and (epoch + 1) % cfg.train.ckpt_every_epochs == 0:
             ckpt_lib.save(ckpt_dir, state, epoch + 1, cfg)
         # validation
-        ev = make_eval_step(model, cfg)
-        vals = [ev(state, b) for b in val_batches()]
+        vals = [eval_step(state, b) for b in val_batches()]
         if vals:
             agg = {k: float(np.mean([float(v[k]) for v in vals]))
                    for k in vals[0]}
