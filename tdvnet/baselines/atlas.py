@@ -13,7 +13,7 @@ ResNet50-FPN.
 from __future__ import annotations
 
 import functools
-from typing import Dict, Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -18,8 +18,6 @@ Shares the MnasMulti backbone + FPN modules with the flagship.
 """
 from __future__ import annotations
 
-import functools
-from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -16,8 +16,7 @@ TPU-native counterpart of `mv3d/baselines/fastmvsnet/` (3,694 LoC torch):
 """
 from __future__ import annotations
 
-import functools
-from typing import Dict, Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

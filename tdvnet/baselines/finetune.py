@@ -7,8 +7,7 @@ parameterized by each family's forward + loss.
 """
 from __future__ import annotations
 
-import functools
-from typing import Callable, Dict, Tuple
+from typing import Callable
 
 import jax
 import jax.numpy as jnp
@@ -16,7 +15,6 @@ import optax
 from flax import core
 from flax.training import train_state
 
-from tdvnet.config import Config
 from tdvnet.eval.metrics2d import mae_loss
 
 

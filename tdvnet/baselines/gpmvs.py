@@ -15,9 +15,8 @@ TPU-native counterpart of `mv3d/baselines/gpmvs/` (1,891 LoC torch):
 """
 from __future__ import annotations
 
-import dataclasses
 import functools
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, Tuple
 
 import jax
 import jax.numpy as jnp

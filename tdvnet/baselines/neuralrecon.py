@@ -14,8 +14,7 @@ fragment.  The final global TSDF is meshed for the depth=False harness path.
 """
 from __future__ import annotations
 
-import functools
-from typing import Dict, Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp
@@ -27,7 +26,6 @@ from tdvnet.models.backbone import MnasMulti
 from tdvnet.models.fpn import FPN
 from tdvnet.models.layers import MaskedGroupNorm
 from tdvnet.models.scene_unet import MaskedConv3d
-from tdvnet.ops.sampling import resize_nearest
 
 FRAGMENT_SIZE = 9
 VOXEL_FINE = 0.04
@@ -176,7 +174,7 @@ def make_pred_fn(model: NeuralReconNet, variables,
     The global hidden + TSDF volumes live host-side; each fragment crops a
     static [frag_dim]^3 window around the fragment's view centers.
     """
-    from tdvnet.ops import camera as cam_ops, marching
+    from tdvnet.ops import marching
 
     dims_fine = (frag_dim,) * 3
 

@@ -20,8 +20,7 @@ TPU redesign notes:
 """
 from __future__ import annotations
 
-import functools
-from typing import Dict, List, Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp
@@ -30,7 +29,7 @@ from flax import linen as nn
 
 from tdvnet.models.layers import ConvBnRelu, ConvTransposeUp3d
 from tdvnet.ops import camera, costvolume
-from tdvnet.ops.sampling import bilinear_sample_batched, resize_nearest
+from tdvnet.ops.sampling import resize_nearest
 
 K_NEIGHBORS = 16
 INTERVALS = (-2.0, -1.0, 0.0, 1.0, 2.0)

@@ -12,7 +12,6 @@ pred_fn signature here: pred_fn(views: dict, scene_dir: str, dset: Dataset)
 """
 from __future__ import annotations
 
-import json
 import os
 from typing import Callable, Optional, Sequence
 

@@ -7,9 +7,8 @@ the GT mesh) to PNG contact sheets using the native rasterizer + matplotlib.
 """
 from __future__ import annotations
 
-import json
 import os
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, Tuple
 
 import numpy as np
 

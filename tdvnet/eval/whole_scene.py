@@ -11,9 +11,7 @@ compiled graphs.
 """
 from __future__ import annotations
 
-import dataclasses
-import functools
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp

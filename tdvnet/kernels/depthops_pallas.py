@@ -16,7 +16,6 @@ blocks fit comfortably in VMEM at reference shapes (96x56x56 fp32 = 1.2 MB;
 """
 from __future__ import annotations
 
-import functools
 
 import jax
 import jax.numpy as jnp

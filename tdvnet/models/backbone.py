@@ -10,7 +10,6 @@ when a checkpoint file is available (zero-egress images train from scratch).
 """
 from __future__ import annotations
 
-from typing import Sequence, Tuple
 
 import jax.numpy as jnp
 from flax import linen as nn

@@ -7,7 +7,7 @@ level.  Returns features at strides 2, 4, 8, 16, 32.
 """
 from __future__ import annotations
 
-from typing import Sequence, Tuple
+from typing import Sequence
 
 import jax.numpy as jnp
 from flax import linen as nn

@@ -12,9 +12,7 @@ dense grids — identical values (inactive cells hold zeros).
 """
 from __future__ import annotations
 
-from typing import List, Sequence
 
-import jax
 import jax.numpy as jnp
 from flax import linen as nn
 

@@ -7,7 +7,7 @@ variants that give dense 3D convs the semantics of Minkowski sparse convs
 """
 from __future__ import annotations
 
-from typing import Sequence, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -8,7 +8,6 @@ Replaces the reference's Open3D C++ calls:
 """
 from __future__ import annotations
 
-from typing import Tuple
 
 import numpy as np
 

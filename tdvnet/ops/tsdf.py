@@ -112,8 +112,6 @@ def fuse_scene(depths: np.ndarray, colors: np.ndarray,
     Bounds come from back-projecting the depth maps (quantile + margin like
     the reference); the volume is capped at max_dim voxels per axis.
     """
-    from tdvnet.ops import camera as cam_ops
-
     N, H, W = depths.shape
     # bounds from sparse back-projection on host
     pts_all = []

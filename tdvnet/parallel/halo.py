@@ -10,8 +10,6 @@ single-GPU Minkowski).
 """
 from __future__ import annotations
 
-import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

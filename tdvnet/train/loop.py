@@ -13,8 +13,6 @@ optax/flax loop:
 """
 from __future__ import annotations
 
-import dataclasses
-import functools
 import json
 import os
 import time
@@ -24,7 +22,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import optax
-from flax import core, struct
+from flax import core
 from flax.training import train_state
 
 from tdvnet.config import Config
