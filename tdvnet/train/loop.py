@@ -209,11 +209,17 @@ def fit(cfg: Config, train_batches: Iterable, val_batches: Callable[[], Iterable
             gstep += 1
         if ckpt_dir is not None and (epoch + 1) % cfg.train.ckpt_every_epochs == 0:
             ckpt_lib.save(ckpt_dir, state, epoch + 1, cfg)
-        # validation
-        vals = [eval_step(state, b) for b in val_batches()]
-        if vals:
-            agg = {k: float(np.mean([float(v[k]) for v in vals]))
-                   for k in vals[0]}
-            logger.log(gstep, agg, "val")
+        # validation — a transient backend failure (e.g. a remote-compile
+        # hiccup) must not kill a long training run; the checkpoint above
+        # is already on disk (SURVEY §5.3: restartability over crashing)
+        try:
+            vals = [eval_step(state, b) for b in val_batches()]
+            if vals:
+                agg = {k: float(np.mean([float(v[k]) for v in vals]))
+                       for k in vals[0]}
+                logger.log(gstep, agg, "val")
+        except Exception as e:                        # noqa: BLE001
+            print(f"[fit] validation failed at epoch {epoch}: {e!r}; "
+                  f"continuing training")
     logger.close()
     return model, state
