@@ -119,6 +119,12 @@ class TrainConfig:
     log_every: int = 50
     ckpt_every_epochs: int = 1
     use_tensorboard: bool = True
+    # TPU memory/throughput knobs (SURVEY §7.2 step 6: bf16 by default on
+    # TPU; remat trades FLOPs for activation memory)
+    bf16_compute: bool = False       # compute dtype bf16, params/opt fp32
+    remat: bool = False              # jax.checkpoint the forward in the step
+    loader_workers: int = 8          # reference: workers=8 (mv3d/train.py:31)
+    loader_prefetch: int = 3
 
 
 @dataclass(frozen=True)

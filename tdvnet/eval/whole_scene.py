@@ -29,6 +29,52 @@ def _bucket(n: int, lo: int = 16) -> int:
     return b
 
 
+class CountingJit:
+    """`jax.jit` replacement that AOT-compiles per input signature and
+    accumulates the executed-FLOP count from XLA's cost analysis.
+
+    Used by `bench.py` to ground whole-scene throughput claims in measured
+    compiled-graph FLOPs (the reference measures no throughput at all —
+    SURVEY §6 gap row).  Statics are baked into the compiled executable, so
+    calls pass only the dynamic arguments through.
+    """
+
+    def __init__(self, fn, static_argnames=()):
+        self._jit = jax.jit(fn, static_argnames=static_argnames)
+        self._static = frozenset(static_argnames)
+        self._cache = {}
+        self.flops = 0.0
+        self.calls = 0
+
+    def reset(self):
+        self.flops = 0.0
+        self.calls = 0
+
+    @staticmethod
+    def _key(args, kwargs):
+        leaves, treedef = jax.tree_util.tree_flatten((args, kwargs))
+        desc = tuple(
+            (x.shape, str(x.dtype)) if hasattr(x, "shape") else x
+            for x in leaves)
+        return (str(treedef), desc)
+
+    def __call__(self, *args, **kwargs):
+        key = self._key(args, kwargs)
+        ent = self._cache.get(key)
+        if ent is None:
+            compiled = self._jit.lower(*args, **kwargs).compile()
+            ca = compiled.cost_analysis()
+            if isinstance(ca, list):
+                ca = ca[0]
+            ent = (compiled, float(ca.get("flops", 0.0) or 0.0))
+            self._cache[key] = ent
+        compiled, fl = ent
+        self.flops += fl
+        self.calls += 1
+        dyn = {k: v for k, v in kwargs.items() if k not in self._static}
+        return compiled(*args, **dyn)
+
+
 def _chunk_batch(views: Dict, r0: int, r1: int, k: int,
                  chunk_refs: int) -> Tuple[FrameBatch, int]:
     """Build a local FrameBatch for ref slots [r0, r1) of a single scene.
@@ -79,7 +125,8 @@ class SceneInference:
 
     def __init__(self, model: ThreeDVNet, variables, cfg: Config,
                  offsets_list: Sequence[Sequence[float]] = ((0.05, 0.05, 0.025),
-                                                           (0.05, 0.05, 0.025))):
+                                                           (0.05, 0.05, 0.025)),
+                 count_flops: bool = False):
         self.model = model
         self.variables = variables
         self.cfg = cfg
@@ -88,12 +135,26 @@ class SceneInference:
         self.grid_cfg = GridConfig(
             edge_len=cfg.model.grid.edge_len, grid_size=e.eval_grid_size,
             max_anchors=e.eval_max_anchors)
-        self._feat = jax.jit(self._feat_impl)
-        self._init_depth = jax.jit(self._init_depth_impl)
-        self._scene = jax.jit(self._scene_impl)
-        self._pointflow = jax.jit(self._pointflow_impl,
-                                  static_argnames=("offset",))
-        self._upsample = jax.jit(self._upsample_impl)
+        wrap = CountingJit if count_flops else jax.jit
+        self._feat = wrap(self._feat_impl)
+        self._init_depth = wrap(self._init_depth_impl)
+        self._scene = wrap(self._scene_impl)
+        self._pointflow = wrap(self._pointflow_impl,
+                               static_argnames=("offset",))
+        self._upsample = wrap(self._upsample_impl)
+
+    def flops_executed(self) -> float:
+        """Total FLOPs executed since the last reset (count_flops=True only)."""
+        return sum(f.flops for f in self._counting_jits())
+
+    def reset_flops(self) -> None:
+        for f in self._counting_jits():
+            f.reset()
+
+    def _counting_jits(self):
+        return [f for f in (self._feat, self._init_depth, self._scene,
+                            self._pointflow, self._upsample)
+                if isinstance(f, CountingJit)]
 
     # --- jitted impls (closed over model; variables passed as args) ---
     def _feat_impl(self, variables, images):

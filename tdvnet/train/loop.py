@@ -62,7 +62,14 @@ def _backbone_bn_labels(params) -> Any:
 
 def create_state(cfg: Config, rng, batch: FrameBatch,
                  steps_per_epoch: int = 100) -> Tuple[ThreeDVNet, TrainState]:
-    model = ThreeDVNet(cfg.model)
+    import dataclasses
+
+    mcfg = cfg.model
+    if cfg.train.bf16_compute:
+        # bf16 compute dtype; params / grads / optimizer state stay fp32
+        # (flax param_dtype default) — SURVEY §7.3 #6 accumulation guarantees
+        mcfg = dataclasses.replace(mcfg, dtype=jnp.bfloat16)
+    model = ThreeDVNet(mcfg)
     # jit the init: un-jitted tracing dispatches op-by-op (pathological
     # through the axon TPU tunnel — each op is a roundtrip)
     init_fn = jax.jit(lambda r, b: model.init(
@@ -112,12 +119,20 @@ def make_train_step(model: ThreeDVNet, cfg: Config, n_iters: int,
     bb_train = bool(cfg.train.finetune)
 
     def step(state: TrainState, batch: FrameBatch, lam: jnp.ndarray):
-        def loss_fn(params):
-            out, updates = state.apply_fn(
-                {"params": params, "batch_stats": state.batch_stats},
+        def forward(params, batch_stats, batch, lam):
+            return state.apply_fn(
+                {"params": params, "batch_stats": batch_stats},
                 batch, offsets=offsets, n_iters=n_iters, lam=lam,
                 train=True, with_metrics=False, backbone_train=bb_train,
                 mutable=["batch_stats"])
+
+        if cfg.train.remat:
+            # full-forward rematerialization: backward recomputes activations
+            # instead of keeping them live (SURVEY §7.2 step 6)
+            forward = jax.checkpoint(forward)
+
+        def loss_fn(params):
+            out, updates = forward(params, state.batch_stats, batch, lam)
             return out["loss"], (out, updates["batch_stats"])
 
         (loss, (out, new_stats)), grads = jax.value_and_grad(
@@ -177,16 +192,30 @@ class MetricsLogger:
             self.tb.close()
 
 
-def fit(cfg: Config, train_batches: Iterable, val_batches: Callable[[], Iterable],
+def fit(cfg: Config, train_batches, val_batches: Callable[[], Iterable],
         n_epochs: int, log_dir: str = "runs/tdvnet",
         ckpt_dir: Optional[str] = None, resume: bool = False):
-    """Minimal epoch loop over pre-collated FrameBatch iterables."""
+    """Epoch loop.
+
+    train_batches: either a `StreamingLoader`-like object (has `.epoch(e)`
+    yielding per-epoch shuffled, prefetched batches and `__len__`) or a
+    plain iterable of pre-collated batches (small smoke runs / tests —
+    every epoch replays the same list).
+    """
     from tdvnet.train import checkpoints as ckpt_lib
 
-    batches = list(train_batches)
-    steps_per_epoch = max(len(batches), 1)
+    if hasattr(train_batches, "epoch"):
+        loader = train_batches
+        steps_per_epoch = max(len(loader), 1)
+        epoch_iter = loader.epoch
+        first_batch = next(iter(loader.epoch(0)))
+    else:
+        batches = list(train_batches)
+        steps_per_epoch = max(len(batches), 1)
+        epoch_iter = lambda e: iter(batches)          # noqa: E731
+        first_batch = batches[0]
     rng = jax.random.PRNGKey(cfg.train.seed)
-    model, state = create_state(cfg, rng, batches[0], steps_per_epoch)
+    model, state = create_state(cfg, rng, first_batch, steps_per_epoch)
     start_epoch = 0
     if resume and ckpt_dir is not None:
         restored = ckpt_lib.restore(ckpt_dir, state)
@@ -202,7 +231,7 @@ def fit(cfg: Config, train_batches: Iterable, val_batches: Callable[[], Iterable
         if n_it not in step_fns:
             step_fns[n_it] = make_train_step(model, cfg, n_it)
         lam = jnp.float32(lambda_for_epoch(cfg, epoch))
-        for batch in batches:
+        for batch in epoch_iter(epoch):
             state, mets = step_fns[n_it](state, batch, lam)
             if gstep % cfg.train.log_every == 0:
                 logger.log(gstep, mets, "train")

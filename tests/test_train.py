@@ -94,3 +94,92 @@ def test_checkpoint_roundtrip(setup, tmp_path):
     rest = jax.tree_util.tree_leaves(restored.params)
     for a, b in zip(orig, rest):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_remat_step_matches_exact(setup):
+    """jax.checkpoint must not change numerics — only memory/flops."""
+    import dataclasses
+
+    cfg, fb, model, state = setup
+    cfg_r = dataclasses.replace(
+        cfg, train=dataclasses.replace(cfg.train, remat=True))
+    lam = jnp.float32(0.5)
+    s1, m1 = L.make_train_step(model, cfg, n_iters=1, donate=False)(
+        state, fb, lam)
+    s2, m2 = L.make_train_step(model, cfg_r, n_iters=1, donate=False)(
+        state, fb, lam)
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]),
+                               rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(s1.params),
+                    jax.tree_util.tree_leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
+
+
+def test_bf16_train_step_runs_and_learns(setup):
+    import dataclasses
+
+    cfg, fb, _, _ = setup
+    cfg_b = dataclasses.replace(
+        cfg, train=dataclasses.replace(cfg.train, bf16_compute=True))
+    model, state = L.create_state(cfg_b, jax.random.PRNGKey(0), fb,
+                                  steps_per_epoch=1)
+    # params stay fp32 even though compute is bf16
+    for leaf in jax.tree_util.tree_leaves(state.params):
+        assert leaf.dtype == jnp.float32
+    step = L.make_train_step(model, cfg_b, n_iters=1, donate=False)
+    lam = jnp.float32(0.5)
+    s, m0 = step(state, fb, lam)
+    losses = [float(m0["loss"])]
+    for _ in range(5):
+        s, m = step(s, fb, lam)
+        losses.append(float(m["loss"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0], losses
+
+
+def test_streaming_loader_shuffles_and_covers(tmp_path):
+    from tdvnet.data.dataset import Dataset
+    from tdvnet.data.frameselector import EveryNthSelector
+    from tdvnet.train.loader import StreamingLoader
+    from tools.make_synthetic_dataset import make_scene_dir
+
+    dirs = [make_scene_dir(str(tmp_path), f"s{i}", 6, (32, 40), i)
+            for i in range(5)]
+    dset = Dataset(dirs, EveryNthSelector(1), 3, depth_img_size=(32, 40),
+                   img_size=(32, 40), augment=False, n_src_on_either_side=1)
+    loader = StreamingLoader(dset, n_scenes=2, n_views=5, n_ref=3, seed=1,
+                             prefetch=2, workers=2)
+    assert len(loader) == 2            # 5 scenes // 2 per batch
+    b0 = list(loader.epoch(0))
+    b1 = list(loader.epoch(1))
+    assert len(b0) == len(b1) == 2
+    for b in b0 + b1:
+        assert b.images.ndim == 4 and b.n_refs == 6  # 2 scenes x 3 refs
+    # deterministic per epoch, different across epochs
+    g0a = loader._epoch_groups(0)
+    g0b = loader._epoch_groups(0)
+    g1 = loader._epoch_groups(1)
+    assert [list(g) for g in g0a] == [list(g) for g in g0b]
+    assert [list(g) for g in g0a] != [list(g) for g in g1]
+
+
+def test_fit_accepts_streaming_loader(tmp_path):
+    from tdvnet.data.dataset import Dataset
+    from tdvnet.data.frameselector import EveryNthSelector
+    from tdvnet.train.loader import StreamingLoader
+    from tools.make_synthetic_dataset import make_scene_dir
+
+    cfg = tiny_test_config()
+    bc = cfg.batch
+    dirs = [make_scene_dir(str(tmp_path), f"s{i}", 6, bc.img_size, i)
+            for i in range(2)]
+    dset = Dataset(dirs, EveryNthSelector(1), bc.n_ref,
+                   depth_img_size=bc.depth_img_size, img_size=bc.img_size,
+                   augment=False,
+                   n_src_on_either_side=bc.n_src_on_either_side)
+    loader = StreamingLoader(dset, bc.n_scenes, bc.n_views, bc.n_ref,
+                             workers=2, prefetch=1)
+    model, state = L.fit(cfg, loader, lambda: [], n_epochs=1,
+                         log_dir=str(tmp_path / "runs"))
+    assert state is not None

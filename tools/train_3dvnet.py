@@ -31,6 +31,10 @@ def main():
     ap.add_argument("--batch-scenes", type=int, default=2)
     ap.add_argument("--steps-per-epoch", type=int, default=None,
                     help="cap batches per epoch")
+    ap.add_argument("--bf16", action="store_true",
+                    help="bf16 compute (fp32 params/optimizer)")
+    ap.add_argument("--remat", action="store_true",
+                    help="rematerialize the forward in the backward pass")
     args = ap.parse_args()
 
     from tdvnet.config import load_config
@@ -41,7 +45,9 @@ def main():
     from tdvnet.data import scenelists
     from tdvnet.train.loop import fit
 
-    cfg = load_config({"train": {"finetune": args.finetune},
+    cfg = load_config({"train": {"finetune": args.finetune,
+                                 "bf16_compute": args.bf16,
+                                 "remat": args.remat},
                        "batch": {"n_scenes": args.batch_scenes}})
     bc = cfg.batch
 
@@ -68,18 +74,24 @@ def main():
                        img_size=bc.img_size, augment=False,
                        n_src_on_either_side=bc.n_src_on_either_side)
 
-    def batches(dset, limit=None):
-        idx = np.arange(len(dset))
+    def val_batches(limit=4):
+        idx = np.arange(len(val_dset))
         out = []
         for i in range(0, len(idx) - bc.n_scenes + 1, bc.n_scenes):
-            out.append(dset.get_batch(idx[i:i + bc.n_scenes], bc.n_views,
-                                      bc.n_ref))
-            if limit and len(out) >= limit:
+            out.append(val_dset.get_batch(idx[i:i + bc.n_scenes], bc.n_views,
+                                          bc.n_ref))
+            if len(out) >= limit:
                 break
         return out
 
-    train_batches = batches(train_dset, args.steps_per_epoch)
-    fit(cfg, train_batches, lambda: batches(val_dset, 4), args.epochs,
+    from tdvnet.train.loader import StreamingLoader
+
+    loader = StreamingLoader(train_dset, bc.n_scenes, bc.n_views, bc.n_ref,
+                             seed=cfg.train.seed,
+                             prefetch=cfg.train.loader_prefetch,
+                             workers=cfg.train.loader_workers,
+                             steps_per_epoch=args.steps_per_epoch)
+    fit(cfg, loader, val_batches, args.epochs,
         log_dir=args.log_dir, ckpt_dir=args.ckpt_dir, resume=args.resume)
 
 
