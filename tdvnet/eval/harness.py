@@ -118,6 +118,9 @@ def make_3dvnet_pred_fn(model, variables, cfg: Config):
     inf = SceneInference(model, variables, cfg)
 
     def pred_fn(views, scene_dir, dset):
-        return inf.predict_scene(views)
+        out = inf.predict_scene(views)
+        if inf.last_scene_stats:
+            print(f"  scene volume stats: {inf.last_scene_stats}")
+        return out
 
     return pred_fn

@@ -138,10 +138,11 @@ class SceneInference:
         wrap = CountingJit if count_flops else jax.jit
         self._feat = wrap(self._feat_impl)
         self._init_depth = wrap(self._init_depth_impl)
-        self._scene = wrap(self._scene_impl)
+        self._scene = wrap(self._scene_impl, static_argnames=("grid_cfg",))
         self._pointflow = wrap(self._pointflow_impl,
-                               static_argnames=("offset",))
+                               static_argnames=("offset", "grid_cfg"))
         self._upsample = wrap(self._upsample_impl)
+        self.last_scene_stats: Dict = {}
 
     def flops_executed(self) -> float:
         """Total FLOPs executed since the last reset (count_flops=True only)."""
@@ -165,19 +166,67 @@ class SceneInference:
         return self.model.apply(variables, batch, self.cfg.model.depth_test,
                                 quarter, False, method="initial_depth")
 
-    def _scene_impl(self, variables, depth_all, quarter_all, batch):
+    def _scene_impl(self, variables, depth_all, quarter_all, batch,
+                    grid_cfg):
         return self.model.apply(variables, depth_all, quarter_all, batch,
-                                self.grid_cfg, False, method="model_scene")
+                                grid_cfg, False, method="model_scene")
 
     def _pointflow_impl(self, variables, scales, origins, depth, quarter,
-                        batch, offset):
+                        batch, offset, grid_cfg):
         return self.model.apply(variables, scales, origins, depth, quarter,
-                                batch, offset, 3, self.grid_cfg, False,
+                                batch, offset, 3, grid_cfg, False,
                                 method="run_pointflow")
 
     def _upsample_impl(self, variables, depth, half, quarter, images, ref_idx):
         return self.model.apply(variables, depth, half, quarter, images,
                                 ref_idx, False, method="upsample")
+
+    def _choose_grid(self, views: Dict, depth_all: np.ndarray,
+                     R: int) -> GridConfig:
+        """Pick the scene-volume grid for this scene.
+
+        With auto_grid on, backproject the predicted depths (host numpy,
+        strided) and size the grid to the bbox extent rounded up to
+        grid_bucket multiples, capped at eval_grid_size.  Warns when the
+        cap clips the scene — the reference never drops geometry
+        (`mv3d/utils.py:38-64`), so a clamp must be visible.
+        """
+        e = self.cfg.eval
+        if not e.auto_grid:
+            return self.grid_cfg
+        h, w = depth_all.shape[1:]
+        H, W = self.cfg.model.img_size
+        k = e.n_src_on_either_side
+        s = 4                                        # pixel stride
+        xs = np.linspace(0.0, W - 1.0, w, dtype=np.float32)[::s]
+        ys = np.linspace(0.0, H - 1.0, h, dtype=np.float32)[::s]
+        xx, yy = np.meshgrid(xs, ys)
+        grid = np.stack([xx, yy, np.ones_like(xx)], -1).reshape(-1, 3)
+        Kr = views["K"][k:k + R]
+        Rr = views["rotmats"][k:k + R]
+        tr = views["tvecs"][k:k + R]
+        rays = np.einsum("nij,pj->npi", np.linalg.inv(Kr), grid)
+        d = depth_all[:R, ::s, ::s].reshape(R, -1, 1)
+        pts = np.einsum("nji,npj->npi", Rr, rays * d - tr[:, None, :])
+        pts = pts[np.asarray(d[..., 0]) > 0]
+        gc = self.grid_cfg
+        if pts.size == 0:
+            return gc
+        extent = pts.max(axis=0) - pts.min(axis=0)
+        b = e.grid_bucket
+        need = np.ceil(extent / gc.edge_len).astype(int) + 2
+        dims = -(-need // b) * b                     # round up to bucket
+        capped = np.minimum(dims, np.array(gc.grid_size))
+        if (dims > np.array(gc.grid_size)).any():
+            import warnings
+
+            warnings.warn(
+                f"scene bbox needs grid {tuple(dims)} voxels but "
+                f"eval_grid_size caps it at {gc.grid_size}; geometry "
+                f"outside will be dropped (see scene_stats counters)")
+        return GridConfig(edge_len=gc.edge_len,
+                          grid_size=tuple(int(x) for x in capped),
+                          max_anchors=gc.max_anchors)
 
     # --- streaming driver ---
     def predict_scene(self, views: Dict) -> np.ndarray:
@@ -233,9 +282,14 @@ class SceneInference:
 
         # Stage C/D: refinement iterations
         OC = e.offset_batch
+        gc = self._choose_grid(views, np.asarray(depth_all), R)
+        stats_acc = {}
         for offsets in self.offsets_list:
-            scales, origins = self._scene(self.variables, d_pad, q_all,
-                                          scene_batch)
+            scales, origins, sstats = self._scene(self.variables, d_pad,
+                                                  q_all, scene_batch,
+                                                  grid_cfg=gc)
+            for sk, sv in sstats.items():
+                stats_acc[sk] = stats_acc.get(sk, 0) + int(sv)
             for off in offsets:
                 new_chunks = []
                 for r0 in range(0, R, OC):
@@ -247,11 +301,25 @@ class SceneInference:
                         q = jnp.concatenate([q, jnp.repeat(q[-1:], qpad, 0)], 0)
                     dch = d_pad[r0:r0 + OC]
                     delta = self._pointflow(self.variables, scales, origins,
-                                            dch, q, cb, offset=float(off))
+                                            dch, q, cb, offset=float(off),
+                                            grid_cfg=gc)
                     new_chunks.append((dch + delta)[:n_valid])
                 depth_all = jnp.concatenate(new_chunks, axis=0)
                 d_pad = jnp.concatenate(
                     [depth_all, jnp.zeros((Rb - R, h, w), jnp.float32)], 0)
+
+        self.last_scene_stats = stats_acc
+        dropped = stats_acc.get("n_out_of_grid", 0) \
+            + stats_acc.get("n_overflow", 0)
+        if dropped:
+            import warnings
+
+            warnings.warn(
+                f"scene volume dropped {dropped} points "
+                f"(out_of_grid={stats_acc.get('n_out_of_grid', 0)}, "
+                f"anchor_overflow={stats_acc.get('n_overflow', 0)} of "
+                f"{stats_acc.get('n_points', 0)} valid) — enlarge "
+                f"eval_grid_size / eval_max_anchors")
 
         # Stage E: upsample, chunked
         UC = min(e.upsample_batch, max(R, 1))

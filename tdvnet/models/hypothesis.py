@@ -13,10 +13,17 @@ dense grids — identical values (inactive cells hold zeros).
 from __future__ import annotations
 
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from tdvnet.ops.sampling import trilinear_sample_batched
+from tdvnet.ops.sampling import (pack_trilinear_octs,
+                                 trilinear_sample_batched,
+                                 trilinear_sample_octs_batched)
+
+# oct-packed tables cost 8x the grid's memory; above this budget fall back
+# to the 8-tap sampler (the 160x160x64 eval grid's finest scale)
+_PACK_BUDGET_BYTES = 512 * 1024 * 1024
 
 
 def sample_scales(scales, pts: jnp.ndarray, origins: jnp.ndarray,
@@ -30,13 +37,25 @@ def sample_scales(scales, pts: jnp.ndarray, origins: jnp.ndarray,
     edge/2, so node coords are ((pt - center0) / (s * edge)).
     Returns [B, Q, sum C] with finest scale FIRST (the reference prepends
     each coarser scale's features: final order fine→coarse).
+
+    On TPU each scale's 8 taps are fetched as ONE oct-packed gather when
+    the packed table fits the budget (XLA gather cost is per row — see
+    `pack_bilinear_quads`).
     """
     center0 = origins + 0.5 * edge_len              # [B, 3]
     feats = []
     for sc in scales:
         s = sc["stride"]
+        g = sc["grid"]
         q = (pts - center0[:, None, :]) / (s * edge_len)
-        feats.append(trilinear_sample_batched(sc["grid"], q))
+        B, X, Y, Z, C = g.shape
+        packed_bytes = (B * (X + 1) * (Y + 1) * (Z + 1) * 8 * C
+                        * g.dtype.itemsize)
+        if packed_bytes <= _PACK_BUDGET_BYTES:
+            octs = jax.vmap(pack_trilinear_octs)(g)
+            feats.append(trilinear_sample_octs_batched(octs, q, (X, Y, Z)))
+        else:
+            feats.append(trilinear_sample_batched(g, q))
     # scales arrive coarsest-first; reference output order is finest-first
     return jnp.concatenate(feats[::-1], axis=-1)
 

@@ -89,7 +89,9 @@ class ThreeDVNet(nn.Module):
                     train: bool = False):
         """Voxelize the scene point cloud, PointNet-encode, run the U-Net.
 
-        Returns (scales coarsest-first, origins [B, 3]).
+        Returns (scales coarsest-first, origins [B, 3], stats) where stats
+        carries the capacity-overflow counters (VERDICT r1 #9: no silent
+        caps — the reference never drops geometry, `mv3d/utils.py:38-64`).
         """
         g = grid_cfg or self.cfg.grid
         B = batch.n_scenes
@@ -112,7 +114,10 @@ class ThreeDVNet(nn.Module):
         dense, occ = vox.scatter_anchors_to_dense(anchor_feats, vg,
                                                   g.grid_size, B)
         scales = self.scene_unet(dense.astype(self.cfg.dtype), occ)
-        return scales, vg.origins
+        stats = {"n_out_of_grid": vg.n_out_of_grid,
+                 "n_overflow": vg.n_overflow,
+                 "n_points": jnp.sum(vg.point_valid.astype(jnp.int32))}
+        return scales, vg.origins, stats
 
     def run_pointflow(self, scales, origins, depth_pred, feats_quarter,
                       batch: FrameBatch, offset: float, n: int = 3,
@@ -187,8 +192,8 @@ class ThreeDVNet(nn.Module):
                                                              False)
         depth_pred, _ = self.initial_depth(batch, dc, feats_quarter, False)
         for offsets in offsets_list:
-            scales, origins = self.model_scene(depth_pred, feats_quarter,
-                                               batch, grid_cfg, False)
+            scales, origins, _ = self.model_scene(depth_pred, feats_quarter,
+                                                  batch, grid_cfg, False)
             for off in offsets:
                 depth_pred = depth_pred + self.run_pointflow(
                     scales, origins, depth_pred, feats_quarter, batch, off, 3,
@@ -232,8 +237,9 @@ class ThreeDVNet(nn.Module):
         total = loss
 
         for _ in range(n_iters):
-            scales, origins = self.model_scene(depth_pred, feats_quarter,
-                                               batch, grid_cfg, train)
+            scales, origins, scene_stats = self.model_scene(
+                depth_pred, feats_quarter, batch, grid_cfg, train)
+            out["scene_stats"] = scene_stats
             for off in offsets:
                 delta = self.run_pointflow(scales, origins, depth_pred,
                                            feats_quarter, batch, off, 3,

@@ -16,7 +16,8 @@ import jax
 import jax.numpy as jnp
 
 from tdvnet.ops import camera
-from tdvnet.ops.sampling import bilinear_sample_batched
+from tdvnet.ops.sampling import (bilinear_sample_quads_batched,
+                                 pack_bilinear_quads)
 
 
 # fp32-element budget for one sampled [R, P_chunk, C] tensor (~256 MB);
@@ -58,6 +59,9 @@ def _source_variance(pts_world: jnp.ndarray, feats: jnp.ndarray,
     sy = (Hf - 1.0) / (H - 1.0)
     scale = jnp.array([sx, sy], dtype=jnp.float32)
     cnt = jnp.maximum(jnp.sum(src_mask.astype(jnp.float32), axis=1), 1.0)
+    # one 4C-wide gather per point instead of four C-wide ones — XLA's TPU
+    # gather cost is per row, not per element (see pack_bilinear_quads)
+    quads = jax.vmap(pack_bilinear_quads)(feats)
 
     def variance_of(pts_chunk):
         Pc = pts_chunk.shape[1]
@@ -66,8 +70,8 @@ def _source_variance(pts_world: jnp.ndarray, feats: jnp.ndarray,
             acc, acc_sq = carry
             idx = src_idx[:, s]                  # [R]
             xy, _ = camera.project_points(pts_chunk, P_all[idx])
-            f = bilinear_sample_batched(feats[idx], xy * scale)
-            f = f.astype(jnp.float32)
+            f = bilinear_sample_quads_batched(quads[idx], xy * scale,
+                                              (Hf, Wf))
             m = src_mask[:, s].astype(jnp.float32)[:, None, None]
             return (acc + f * m, acc_sq + f * f * m), None
 

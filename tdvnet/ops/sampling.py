@@ -50,6 +50,61 @@ def bilinear_sample(feat: jnp.ndarray, xy: jnp.ndarray) -> jnp.ndarray:
 bilinear_sample_batched = jax.vmap(bilinear_sample, in_axes=(0, 0))
 
 
+def pack_bilinear_quads(feat: jnp.ndarray) -> jnp.ndarray:
+    """Pack each 2x2 tap neighborhood into one gather row.
+
+    feat: [H, W, C] → [(H+1)*(W+1), 4C] float32 where row (y+1)*(W+1)+(x+1)
+    holds [f(y,x), f(y,x+1), f(y+1,x), f(y+1,x+1)] of the ZERO-PADDED map
+    (taps outside the image are zero — grid_sample zeros-padding semantics).
+
+    Why: on TPU, XLA's gather cost is per ROW, independent of row width
+    (measured: C=32 and C=128 row gathers both ~18 ms for 2.1M rows on
+    v5e), so fetching all four bilinear taps in one 4C-wide gather is ~4x
+    cheaper than four C-wide gathers — and fp32 gathers measured ~1.3x
+    faster than bf16.  This is the TPU-shaped replacement for the
+    reference's `grid_sample` warp (`mv3d/subnetworks/mvsnet.py:209`).
+    """
+    H, W, C = feat.shape
+    p = jnp.pad(feat.astype(jnp.float32), ((1, 1), (1, 1), (0, 0)))
+    q = jnp.concatenate([p[:-1, :-1], p[:-1, 1:], p[1:, :-1], p[1:, 1:]],
+                        axis=-1)                       # [H+1, W+1, 4C]
+    return q.reshape((H + 1) * (W + 1), 4 * C)
+
+
+def bilinear_sample_quads(quads: jnp.ndarray, xy: jnp.ndarray,
+                          img_hw) -> jnp.ndarray:
+    """Bilinear sample from a quad-packed table (see pack_bilinear_quads).
+
+    quads: [(H+1)*(W+1), 4C]; xy: [P, 2] pixel coords; img_hw: (H, W) of
+    the original map.  Exactly equivalent to `bilinear_sample(feat, xy)`.
+    """
+    H, W = img_hw
+    C4 = quads.shape[-1]
+    C = C4 // 4
+    x, y = xy[..., 0], xy[..., 1]
+    x0f, y0f = jnp.floor(x), jnp.floor(y)
+    wx = (x - x0f)[:, None]
+    wy = (y - y0f)[:, None]
+    x0 = x0f.astype(jnp.int32)
+    y0 = y0f.astype(jnp.int32)
+    # anchors in [-1, W-1+1): every partially-in-bounds point keeps its true
+    # anchor (padded zeros supply the out-of-image taps); fully-out points
+    # are clamped and masked.
+    inb = (x0 >= -1) & (x0 <= W - 1) & (y0 >= -1) & (y0 <= H - 1)
+    xi = jnp.clip(x0 + 1, 0, W)
+    yi = jnp.clip(y0 + 1, 0, H)
+    rows = jnp.take(quads, yi * (W + 1) + xi, axis=0)  # [P, 4C]
+    f00, f01, f10, f11 = (rows[:, :C], rows[:, C:2 * C],
+                          rows[:, 2 * C:3 * C], rows[:, 3 * C:])
+    out = ((1 - wx) * (1 - wy) * f00 + wx * (1 - wy) * f01
+           + (1 - wx) * wy * f10 + wx * wy * f11)
+    return out * inb[:, None].astype(out.dtype)
+
+
+bilinear_sample_quads_batched = jax.vmap(bilinear_sample_quads,
+                                         in_axes=(0, 0, None))
+
+
 def trilinear_sample(vol: jnp.ndarray, q: jnp.ndarray) -> jnp.ndarray:
     """Sample a dense 3D feature volume at continuous cell coordinates.
 
@@ -81,6 +136,59 @@ def trilinear_sample(vol: jnp.ndarray, q: jnp.ndarray) -> jnp.ndarray:
 
 
 trilinear_sample_batched = jax.vmap(trilinear_sample, in_axes=(0, 0))
+
+
+def pack_trilinear_octs(vol: jnp.ndarray) -> jnp.ndarray:
+    """Pack each 2x2x2 tap neighborhood into one gather row.
+
+    vol: [X, Y, Z, C] → [(X+1)*(Y+1)*(Z+1), 8C] (same dtype) where the row
+    for anchor (x,y,z) holds the 8 corner features of the zero-padded
+    volume.  Same rationale as `pack_bilinear_quads`: XLA's TPU gather
+    cost is per row, so 1 wide gather beats 8 narrow ones.
+    """
+    X, Y, Z, C = vol.shape
+    p = jnp.pad(vol, ((1, 1), (1, 1), (1, 1), (0, 0)))
+    parts = [p[dx:dx + X + 1, dy:dy + Y + 1, dz:dz + Z + 1]
+             for dx in (0, 1) for dy in (0, 1) for dz in (0, 1)]
+    o = jnp.concatenate(parts, axis=-1)            # [X+1, Y+1, Z+1, 8C]
+    return o.reshape((X + 1) * (Y + 1) * (Z + 1), 8 * C)
+
+
+def trilinear_sample_octs(octs: jnp.ndarray, q: jnp.ndarray,
+                          vol_xyz) -> jnp.ndarray:
+    """Trilinear sample from an oct-packed table (see pack_trilinear_octs).
+
+    octs: [(X+1)(Y+1)(Z+1), 8C]; q: [P, 3] cell coords; vol_xyz: (X, Y, Z).
+    Exactly equivalent to `trilinear_sample(vol, q)`.
+    """
+    X, Y, Z = vol_xyz
+    C = octs.shape[-1] // 8
+    q0f = jnp.floor(q)
+    q0 = q0f.astype(jnp.int32)
+    w = (q - q0f).astype(jnp.float32)              # [P, 3]
+    inb = ((q0[:, 0] >= -1) & (q0[:, 0] <= X - 1)
+           & (q0[:, 1] >= -1) & (q0[:, 1] <= Y - 1)
+           & (q0[:, 2] >= -1) & (q0[:, 2] <= Z - 1))
+    xi = jnp.clip(q0[:, 0] + 1, 0, X)
+    yi = jnp.clip(q0[:, 1] + 1, 0, Y)
+    zi = jnp.clip(q0[:, 2] + 1, 0, Z)
+    rows = jnp.take(octs, (xi * (Y + 1) + yi) * (Z + 1) + zi, axis=0)
+    rows = rows.astype(jnp.float32)
+    out = jnp.zeros((q.shape[0], C), jnp.float32)
+    i = 0
+    for dx in (0, 1):
+        for dy in (0, 1):
+            for dz in (0, 1):
+                wgt = (jnp.where(dx, w[:, 0], 1 - w[:, 0])
+                       * jnp.where(dy, w[:, 1], 1 - w[:, 1])
+                       * jnp.where(dz, w[:, 2], 1 - w[:, 2]))
+                out = out + rows[:, i * C:(i + 1) * C] * wgt[:, None]
+                i += 1
+    return out * inb[:, None].astype(out.dtype)
+
+
+trilinear_sample_octs_batched = jax.vmap(trilinear_sample_octs,
+                                         in_axes=(0, 0, None))
 
 
 def resize_nearest(x: jnp.ndarray, out_hw) -> jnp.ndarray:

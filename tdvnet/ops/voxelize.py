@@ -34,6 +34,11 @@ class VoxelGrid(NamedTuple):
     anchor_valid: jnp.ndarray   # [A] bool
     origins: jnp.ndarray        # [n_scenes, 3] grid origin (bbox min) per scene
     point_valid: jnp.ndarray    # [P] bool — in-grid and input-valid
+    # capacity-overflow observability (the reference never drops geometry —
+    # `mv3d/utils.py:38-64` is fully dynamic; these counters make our static
+    # caps visible instead of silent):
+    n_out_of_grid: jnp.ndarray  # [] int32: input-valid points outside the grid
+    n_overflow: jnp.ndarray     # [] int32: points dropped by anchor capacity
 
 
 def scene_origins(pts: jnp.ndarray, pt_scene: jnp.ndarray,
@@ -96,10 +101,14 @@ def voxelize(pts: jnp.ndarray, pt_scene: jnp.ndarray, pt_valid: jnp.ndarray,
     anchor_center = (origins[anchor_scene]
                      + (anchor_idx3.astype(jnp.float32) + 0.5) * edge_len)
 
+    n_out_of_grid = jnp.sum((pt_valid & ~in_grid).astype(jnp.int32))
+    n_overflow = jnp.sum((is_real & (aid_sorted >= max_anchors))
+                         .astype(jnp.int32))
     return VoxelGrid(point2anchor=point2anchor, anchor_idx3=anchor_idx3,
                      anchor_scene=anchor_scene, anchor_center=anchor_center,
                      anchor_valid=anchor_valid, origins=origins,
-                     point_valid=valid)
+                     point_valid=valid, n_out_of_grid=n_out_of_grid,
+                     n_overflow=n_overflow)
 
 
 def scatter_anchors_to_dense(anchor_feats: jnp.ndarray, vg: VoxelGrid,

@@ -105,3 +105,35 @@ def test_source_variance_chunked_matches_unchunked(rng):
         costvolume._CHUNK_BUDGET_ELEMS = old
     np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), atol=1e-6)
     np.testing.assert_allclose(np.asarray(m1), np.asarray(m2), atol=1e-6)
+
+
+def test_quad_packed_matches_bilinear(rng):
+    from tdvnet.ops.sampling import (bilinear_sample, bilinear_sample_quads,
+                                     pack_bilinear_quads)
+
+    H, W, C = 13, 17, 6
+    feat = jnp.asarray(rng.standard_normal((H, W, C)).astype(np.float32))
+    # queries spanning in-bounds, border-margin and fully-out regions
+    xy = jnp.asarray(np.stack([
+        rng.uniform(-3, W + 2, 400), rng.uniform(-3, H + 2, 400)],
+        axis=-1).astype(np.float32))
+    ref = bilinear_sample(feat, xy)
+    quads = pack_bilinear_quads(feat)
+    out = bilinear_sample_quads(quads, xy, (H, W))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_oct_packed_matches_trilinear(rng):
+    from tdvnet.ops.sampling import (pack_trilinear_octs, trilinear_sample,
+                                     trilinear_sample_octs)
+
+    X, Y, Z, C = 7, 9, 5, 4
+    vol = jnp.asarray(rng.standard_normal((X, Y, Z, C)).astype(np.float32))
+    q = jnp.asarray(np.stack([
+        rng.uniform(-2, X + 1, 300), rng.uniform(-2, Y + 1, 300),
+        rng.uniform(-2, Z + 1, 300)], axis=-1).astype(np.float32))
+    ref = trilinear_sample(vol, q)
+    out = trilinear_sample_octs(pack_trilinear_octs(vol), q, (X, Y, Z))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)

@@ -88,3 +88,28 @@ def test_voxelize_overflow_goes_to_dump(rng):
     p2a = np.asarray(vg.point2anchor)
     assert (p2a <= 10).all()
     assert int(np.asarray(vg.anchor_valid).sum()) == 10
+
+
+def test_overflow_counters(rng):
+    P = 100
+    pts = rng.uniform(0, 1.0, size=(P, 3)).astype(np.float32)
+    # tiny voxels: ~every point its own anchor, capacity 10 → overflow
+    vg = V.voxelize(jnp.array(pts), jnp.zeros(P, jnp.int32),
+                    jnp.ones(P, bool), 0.01, (128, 128, 128), max_anchors=10,
+                    n_scenes=1)
+    assert int(vg.n_out_of_grid) == 0
+    assert int(vg.n_overflow) == P - 10
+
+    # grid too small: points past the grid from the bbox-min origin drop
+    vg2 = V.voxelize(jnp.array(pts), jnp.zeros(P, jnp.int32),
+                     jnp.ones(P, bool), 0.1, (4, 4, 4), max_anchors=512,
+                     n_scenes=1)
+    expect_oog = int((np.floor((pts - pts.min(0)) / 0.1) >= 4).any(1).sum())
+    assert int(vg2.n_out_of_grid) == expect_oog > 0
+    assert int(vg2.n_overflow) == 0
+
+    # roomy grid: nothing dropped
+    vg3 = V.voxelize(jnp.array(pts), jnp.zeros(P, jnp.int32),
+                     jnp.ones(P, bool), 0.1, (16, 16, 16), max_anchors=512,
+                     n_scenes=1)
+    assert int(vg3.n_out_of_grid) == 0 and int(vg3.n_overflow) == 0

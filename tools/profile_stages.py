@@ -11,8 +11,11 @@ from __future__ import annotations
 
 import argparse
 import dataclasses
-import functools
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
@@ -102,7 +105,7 @@ def main():
     depth0 = jax.jit(lambda v, b, q: model.apply(
         v, b, dc, q, False, method="initial_depth")[0])(
         variables, fb, feats_quarter)
-    scales, origins = jax.jit(lambda v, d, q, b: model.apply(
+    scales, origins, _ = jax.jit(lambda v, d, q, b: model.apply(
         v, d, q, b, grid_cfg, False, method="model_scene"))(
         variables, depth0, feats_quarter, fb)
     jax.block_until_ready((feats_half, feats_quarter, depth0, scales))
@@ -121,10 +124,9 @@ def main():
     time_chained("initial_depth(7r,96d)", init_depth_step, t_rt)
 
     def scene_step(e):
-        s, _ = model.apply(variables, depth0 + e, feats_quarter, fb,
-                           grid_cfg, False, method="model_scene")
-        return s[0]["feats"].mean().astype(jnp.float32) \
-            if isinstance(s[0], dict) else s[0].mean().astype(jnp.float32)
+        s, _, _ = model.apply(variables, depth0 + e, feats_quarter, fb,
+                              grid_cfg, False, method="model_scene")
+        return s[0]["grid"].mean().astype(jnp.float32)
     time_chained(f"model_scene{grid_cfg.grid_size}", scene_step, t_rt, k=4)
 
     def pointflow_step(e):
