@@ -126,11 +126,18 @@ class SceneInference:
     def __init__(self, model: ThreeDVNet, variables, cfg: Config,
                  offsets_list: Sequence[Sequence[float]] = ((0.05, 0.05, 0.025),
                                                            (0.05, 0.05, 0.025)),
-                 count_flops: bool = False):
+                 count_flops: bool = False, mesh=None,
+                 shard_axis: str = "space"):
+        """mesh: optional `jax.sharding.Mesh` with a `shard_axis` axis —
+        the scene U-Net then runs spatially sharded (x-blocks + ppermute
+        halo exchange; SURVEY §5.7), which is what lets whole-scene eval
+        hold scene volumes bigger than one chip's HBM."""
         self.model = model
         self.variables = variables
         self.cfg = cfg
         self.offsets_list = [list(o) for o in offsets_list]
+        self.mesh = mesh
+        self.shard_axis = shard_axis
         e = cfg.eval
         self.grid_cfg = GridConfig(
             edge_len=cfg.model.grid.edge_len, grid_size=e.eval_grid_size,
@@ -142,6 +149,16 @@ class SceneInference:
         self._pointflow = wrap(self._pointflow_impl,
                                static_argnames=("offset", "grid_cfg"))
         self._upsample = wrap(self._upsample_impl)
+        if mesh is not None:
+            from tdvnet.models.scene_unet import SceneUNet
+
+            c = cfg.model
+            self._unet_sh = SceneUNet(c.unet_dims, c.unet_groups,
+                                      c.unet_res, dtype=c.dtype,
+                                      axis_name=shard_axis)
+            self._scene_dense = wrap(self._scene_dense_impl,
+                                     static_argnames=("grid_cfg",))
+            self._unet_sharded = wrap(self._unet_sharded_impl)
         self.last_scene_stats: Dict = {}
 
     def flops_executed(self) -> float:
@@ -176,6 +193,36 @@ class SceneInference:
         return self.model.apply(variables, scales, origins, depth, quarter,
                                 batch, offset, 3, grid_cfg, False,
                                 method="run_pointflow")
+
+    def _scene_dense_impl(self, variables, depth_all, quarter_all, batch,
+                          grid_cfg):
+        return self.model.apply(variables, depth_all, quarter_all, batch,
+                                grid_cfg, method="scene_dense")
+
+    def _unet_sharded_impl(self, unet_vars, dense, occ):
+        from jax.sharding import PartitionSpec as P
+
+        a = self.shard_axis
+        L = len(self.cfg.model.unet_dims)
+        out_specs = [{"grid": P(None, a), "mask": P(None, a),
+                      "stride": P()} for _ in range(L)]
+        return jax.shard_map(
+            lambda v, g, m: self._unet_sh.apply(v, g, m),
+            mesh=self.mesh,
+            in_specs=(P(), P(None, a), P(None, a)),
+            out_specs=out_specs, check_vma=False)(unet_vars, dense, occ)
+
+    def _run_scene(self, d_pad, q_all, scene_batch, gc):
+        """One scene-volume build: replicated point stage, then the U-Net
+        (sharded over the mesh when one was given)."""
+        if self.mesh is None:
+            return self._scene(self.variables, d_pad, q_all, scene_batch,
+                               grid_cfg=gc)
+        dense, occ, origins, stats = self._scene_dense(
+            self.variables, d_pad, q_all, scene_batch, grid_cfg=gc)
+        unet_vars = {"params": self.variables["params"]["scene_unet"]}
+        scales = self._unet_sharded(unet_vars, dense, occ)
+        return scales, origins, stats
 
     def _upsample_impl(self, variables, depth, half, quarter, images, ref_idx):
         return self.model.apply(variables, depth, half, quarter, images,
@@ -215,8 +262,15 @@ class SceneInference:
         extent = pts.max(axis=0) - pts.min(axis=0)
         b = e.grid_bucket
         need = np.ceil(extent / gc.edge_len).astype(int) + 2
-        dims = -(-need // b) * b                     # round up to bucket
-        capped = np.minimum(dims, np.array(gc.grid_size))
+        # sharded U-Net: local x-extent must divide by 2^(levels-1)
+        bx = b
+        if self.mesh is not None:
+            n = self.mesh.shape[self.shard_axis]
+            bx = int(np.lcm(b, n * 2 ** (len(self.cfg.model.unet_dims) - 1)))
+        buckets = np.array([bx, b, b])
+        dims = -(-need // buckets) * buckets         # round up to bucket
+        cap = np.array(gc.grid_size) // buckets * buckets
+        capped = np.minimum(dims, np.maximum(cap, buckets))
         if (dims > np.array(gc.grid_size)).any():
             import warnings
 
@@ -285,9 +339,8 @@ class SceneInference:
         gc = self._choose_grid(views, np.asarray(depth_all), R)
         stats_acc = {}
         for offsets in self.offsets_list:
-            scales, origins, sstats = self._scene(self.variables, d_pad,
-                                                  q_all, scene_batch,
-                                                  grid_cfg=gc)
+            scales, origins, sstats = self._run_scene(d_pad, q_all,
+                                                      scene_batch, gc)
             for sk, sv in sstats.items():
                 stats_acc[sk] = stats_acc.get(sk, 0) + int(sv)
             for off in offsets:

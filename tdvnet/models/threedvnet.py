@@ -84,14 +84,15 @@ class ThreeDVNet(nn.Module):
             self.cfg.img_size)                                    # [R, P, C]
         return pts, feats
 
-    def model_scene(self, depth_pred, feats_quarter, batch: FrameBatch,
-                    grid_cfg: Optional[GridConfig] = None,
-                    train: bool = False):
-        """Voxelize the scene point cloud, PointNet-encode, run the U-Net.
+    def scene_dense(self, depth_pred, feats_quarter, batch: FrameBatch,
+                    grid_cfg: Optional[GridConfig] = None):
+        """Voxelize the scene point cloud and PointNet-encode it into the
+        dense grid the U-Net consumes.
 
-        Returns (scales coarsest-first, origins [B, 3], stats) where stats
-        carries the capacity-overflow counters (VERDICT r1 #9: no silent
-        caps — the reference never drops geometry, `mv3d/utils.py:38-64`).
+        Returns (dense [B, gx, gy, gz, 2f], occ [B, gx, gy, gz, 1],
+        origins [B, 3], stats).  Split out of `model_scene` so the eval
+        path can run the U-Net spatially sharded (x-blocks + halo
+        exchange) while the point stage stays replicated.
         """
         g = grid_cfg or self.cfg.grid
         B = batch.n_scenes
@@ -113,11 +114,29 @@ class ThreeDVNet(nn.Module):
                                      g.max_anchors)              # [A, 2f]
         dense, occ = vox.scatter_anchors_to_dense(anchor_feats, vg,
                                                   g.grid_size, B)
-        scales = self.scene_unet(dense.astype(self.cfg.dtype), occ)
         stats = {"n_out_of_grid": vg.n_out_of_grid,
                  "n_overflow": vg.n_overflow,
                  "n_points": jnp.sum(vg.point_valid.astype(jnp.int32))}
-        return scales, vg.origins, stats
+        return dense.astype(self.cfg.dtype), occ, vg.origins, stats
+
+    def apply_scene_unet(self, dense, occ):
+        """Run the scene U-Net on a pre-built dense grid (sharded eval
+        calls this inside shard_map with an axis_name-enabled twin)."""
+        return self.scene_unet(dense, occ)
+
+    def model_scene(self, depth_pred, feats_quarter, batch: FrameBatch,
+                    grid_cfg: Optional[GridConfig] = None,
+                    train: bool = False):
+        """Voxelize the scene point cloud, PointNet-encode, run the U-Net.
+
+        Returns (scales coarsest-first, origins [B, 3], stats) where stats
+        carries the capacity-overflow counters (VERDICT r1 #9: no silent
+        caps — the reference never drops geometry, `mv3d/utils.py:38-64`).
+        """
+        dense, occ, origins, stats = self.scene_dense(
+            depth_pred, feats_quarter, batch, grid_cfg)
+        scales = self.scene_unet(dense, occ)
+        return scales, origins, stats
 
     def run_pointflow(self, scales, origins, depth_pred, feats_quarter,
                       batch: FrameBatch, offset: float, n: int = 3,

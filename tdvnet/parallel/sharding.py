@@ -111,6 +111,44 @@ def shard_train_step_dryrun(n_devices: int) -> None:
     # spatial sharding: halo-exchange SceneUNet over a 'space' mesh
     _spatial_dryrun(n_devices)
 
+    # sharded whole-scene EVAL: SceneInference with the U-Net x-sharded
+    _sharded_eval_dryrun(n_devices)
+
+
+def _sharded_eval_dryrun(n_devices: int) -> None:
+    """Whole-scene eval with the scene U-Net spatially sharded — the
+    global scene volume of `mv3d/eval-3dvnet.py:75` split into x-blocks
+    with halo exchange (SURVEY §5.7)."""
+    from tdvnet.config import tiny_test_config
+    from tdvnet.data import batch as B, synthetic
+    from tdvnet.eval.whole_scene import SceneInference
+    from tdvnet.models.threedvnet import ThreeDVNet
+
+    n_sp = min(4, n_devices)
+    mesh = Mesh(np.asarray(jax.devices()[:n_sp]), ("space",))
+    cfg = tiny_test_config()
+    cfg = dataclasses.replace(cfg, eval=dataclasses.replace(
+        cfg.eval, eval_grid_size=(16 * n_sp, 16, 16), eval_max_anchors=4096,
+        n_src_on_either_side=1, init_depth_batch=4, offset_batch=4,
+        upsample_batch=8, grid_bucket=8))
+    bc = cfg.batch
+    views = synthetic.make_scene(n_views=6, img_size=bc.img_size, seed=3)
+
+    model = ThreeDVNet(cfg.model)
+    scenes = [synthetic.make_batch_scene(bc.n_views, bc.img_size,
+                                         bc.depth_img_size, seed=0)]
+    fb = B.collate_scenes(scenes, bc.n_views, bc.n_ref,
+                          bc.n_src_on_either_side)
+    variables = jax.jit(lambda r, b: model.init(
+        r, b, offsets=[0.05], n_iters=1, lam=0.0, train=False))(
+        jax.random.PRNGKey(0), fb)
+    inf = SceneInference(model, variables, cfg,
+                         offsets_list=((0.05,),), mesh=mesh)
+    depth = inf.predict_scene(views)
+    assert np.isfinite(depth).all()
+    print(f"sharded whole-scene eval over {n_sp} devices: ok "
+          f"(depth {depth.shape}, stats {inf.last_scene_stats})")
+
 
 def _spatial_dryrun(n_devices: int) -> None:
     from jax.sharding import NamedSharding
