@@ -32,8 +32,13 @@ class _MBConv(nn.Module):
                                   epsilon=1e-5, dtype=jnp.float32)
         y = nn.Conv(mid, (1, 1), use_bias=False, dtype=self.dtype)(x)
         y = nn.relu(bn()(y))
+        # torch pads k//2 on BOTH sides even for stride 2 (XLA "SAME" pads
+        # (0, 1) there) — explicit padding keeps pretrained torchvision
+        # weights alignment-exact (tests/test_backbone_convert.py)
+        p = self.kernel // 2
         y = nn.Conv(mid, (self.kernel, self.kernel),
-                    strides=(self.stride, self.stride), padding="SAME",
+                    strides=(self.stride, self.stride),
+                    padding=((p, p), (p, p)),
                     feature_group_count=mid, use_bias=False,
                     dtype=self.dtype)(y)
         y = nn.relu(bn()(y))
@@ -76,8 +81,9 @@ class MnasMulti(nn.Module):
         d = self.dtype
         bn = lambda: nn.BatchNorm(use_running_average=not train, momentum=0.9,
                                   epsilon=1e-5, dtype=jnp.float32)
-        # stem: conv s2 → depthwise → project to 16
-        y = nn.Conv(32, (3, 3), strides=(2, 2), padding="SAME",
+        # stem: conv s2 → depthwise → project to 16 (explicit (1, 1)
+        # padding = torch alignment; see _MBConv)
+        y = nn.Conv(32, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)),
                     use_bias=False, dtype=d)(x)
         y = nn.relu(bn()(y))
         y = nn.Conv(32, (3, 3), padding="SAME", feature_group_count=32,

@@ -12,10 +12,10 @@ import pytest
 from tdvnet.config import tiny_test_config
 from tdvnet.data import batch as B, synthetic
 
-GOLDEN_LOSS = 27.186498641967773
-GOLDEN_DEPTH_MEAN = 0.8769168853759766
-GOLDEN_DEPTH_STD = 0.0029034148901700974
-GOLDEN_INIT_ABS_REL = 0.2552187740802765
+GOLDEN_LOSS = 27.17440414428711
+GOLDEN_DEPTH_MEAN = 0.8770878911018372
+GOLDEN_DEPTH_STD = 0.003134023165330291
+GOLDEN_INIT_ABS_REL = 0.2552167475223541
 
 
 @pytest.mark.slow
