@@ -67,31 +67,79 @@ def backproject_accumulate(feats, projections, origin, dims, voxel_size,
     return volume, valid
 
 
-class TSDF3DNet(nn.Module):
-    """3-scale dense 3D encoder-decoder + tanh TSDF head
-    (counterpart of atlas backbone3d EncoderDecoder + TSDFHead)."""
+class BasicBlock3d(nn.Module):
+    """Residual 3D block (atlas `backbone3d.py:30-60` BasicBlock3d):
+    conv-BN-relu-conv-BN + identity, zero-init second BN scale."""
 
-    base: int = 32
+    features: int
+
+    @nn.compact
+    def __call__(self, x, train=False):
+        bn = lambda zero: nn.BatchNorm(
+            use_running_average=not train, momentum=0.9, epsilon=1e-5,
+            scale_init=nn.initializers.zeros if zero
+            else nn.initializers.ones)
+        y = nn.Conv(self.features, (3, 3, 3), padding="SAME",
+                    use_bias=False)(x)
+        y = nn.relu(bn(False)(y))
+        y = nn.Conv(self.features, (3, 3, 3), padding="SAME",
+                    use_bias=False)(y)
+        y = bn(True)(y)
+        if x.shape[-1] != self.features:
+            x = nn.Conv(self.features, (1, 1, 1), use_bias=False)(x)
+        return nn.relu(x + y)
+
+
+class TSDF3DNet(nn.Module):
+    """Reference-capacity 3D encoder-decoder + multi-scale log-TSDF head.
+
+    Mirrors atlas `backbone3d.py:134` EncoderDecoder at the reference's
+    configured capacity (`config.py:115-117`: channels (32, 64, 128, 256),
+    layers_down (1, 2, 3, 4), layers_up (3, 2, 1)) and the
+    multi-scale `heads3d.py:58` TSDFHead: a 1x1 conv + tanh head at every
+    decoder scale, each finer scale sparsified where the coarser scale is
+    already confident (|tsdf| >= sparse_threshold -> sign * 0.999).
+    Returns tsdf list coarse-to-fine, finest last.
+    """
+
+    channels: Tuple[int, ...] = (32, 64, 128, 256)
+    layers_down: Tuple[int, ...] = (1, 2, 3, 4)
+    layers_up: Tuple[int, ...] = (3, 2, 1)
+    label_smoothing: float = 1.05
+    sparse_threshold: float = 0.99
 
     @nn.compact
     def __call__(self, vol, train=False):
-        b = self.base
-        c3 = lambda f, s: ConvBnRelu(f, (3, 3, 3), (s, s, s))
-        e0 = c3(b, 1)(vol, train)
-        e0 = c3(b, 1)(e0, train)
-        e1 = c3(2 * b, 2)(e0, train)
-        e1 = c3(2 * b, 1)(e1, train)
-        e2 = c3(4 * b, 2)(e1, train)
-        e2 = c3(4 * b, 1)(e2, train)
-        # odd grid dims: crop the exact-2x upsample to the skip's shape
+        chs = self.channels
+        x = nn.Conv(chs[0], (1, 1, 1), use_bias=False)(vol)
+        skips = []
+        for lvl, ch in enumerate(chs):
+            if lvl > 0:
+                x = ConvBnRelu(ch, (3, 3, 3), (2, 2, 2))(x, train)
+            for _ in range(self.layers_down[lvl]):
+                x = BasicBlock3d(ch)(x, train)
+            skips.append(x)
+
         crop = lambda u, ref: u[:, :ref.shape[1], :ref.shape[2],
                                 :ref.shape[3], :]
-        d1 = e1 + crop(ConvTransposeUp3d(2 * b)(e2, train), e1)
-        d1 = c3(2 * b, 1)(d1, train)
-        d0 = e0 + crop(ConvTransposeUp3d(b)(d1, train), e0)
-        d0 = c3(b, 1)(d0, train)
-        tsdf = 1.05 * jnp.tanh(nn.Conv(1, (1, 1, 1))(d0))
-        return tsdf[..., 0]
+        tsdfs = []
+        head = lambda h: self.label_smoothing * jnp.tanh(
+            nn.Conv(1, (1, 1, 1), use_bias=False)(h)[..., 0])
+        tsdfs.append(head(x))                           # coarsest scale
+        for i, ch in enumerate(reversed(chs[:-1])):
+            x = crop(ConvTransposeUp3d(ch)(x, train), skips[-2 - i])
+            x = (x + skips[-2 - i]) / 2
+            for _ in range(self.layers_up[i]):
+                x = BasicBlock3d(ch)(x, train)
+            t = head(x)
+            # coarse-confident region is frozen to +-0.999 (heads3d:102-110)
+            prev = tsdfs[-1]
+            prev_up = crop(jnp.repeat(jnp.repeat(jnp.repeat(
+                prev, 2, 1), 2, 2), 2, 3)[..., None], x)[..., 0]
+            confident = jnp.abs(prev_up) >= self.sparse_threshold
+            t = jnp.where(confident, jnp.sign(prev_up) * 0.999, t)
+            tsdfs.append(t)
+        return tsdfs
 
 
 class AtlasNet(nn.Module):
@@ -107,13 +155,22 @@ class AtlasNet(nn.Module):
     def features(self, images, train=False):
         return self.fpn(self.backbone(images, train))[1]  # quarter res
 
-    def __call__(self, images, projections, origin, dims: Tuple[int, int, int],
-                 voxel_size: float = VOXEL_SIZE, train: bool = False):
+    def multi_scale(self, images, projections, origin,
+                    dims: Tuple[int, int, int],
+                    voxel_size: float = VOXEL_SIZE, train: bool = False):
+        """All TSDF scales (coarse→fine) + finest-res validity, for the
+        multi-scale training loss (heads3d multi_scale=True)."""
         feats = self.features(images, train)
         vol, valid = backproject_accumulate(feats, projections, origin, dims,
                                             voxel_size)
         x = jnp.concatenate([vol, valid], axis=-1)[None]
-        tsdf = self.net3d(x, train)[0]
+        return self.net3d(x, train), valid
+
+    def __call__(self, images, projections, origin, dims: Tuple[int, int, int],
+                 voxel_size: float = VOXEL_SIZE, train: bool = False):
+        tsdfs, valid = self.multi_scale(images, projections, origin, dims,
+                                        voxel_size, train)
+        tsdf = tsdfs[-1][0]                       # finest scale, batch 0
         # unobserved voxels are empty space (tsdf = 1)
         return jnp.where(valid[..., 0] > 0, tsdf, 1.0)
 
@@ -124,6 +181,29 @@ def atlas_tsdf_loss(pred_tsdf, gt_tsdf, gt_weight):
     mask = (gt_weight > 0).astype(jnp.float32)
     return jnp.sum(jnp.abs(logt(pred_tsdf) - logt(gt_tsdf)) * mask) \
         / jnp.maximum(jnp.sum(mask), 1.0)
+
+
+def atlas_multi_scale_loss(tsdfs, gt_tsdf, gt_weight):
+    """Sum of per-scale log-L1 losses (heads3d:114-139): GT down-sampled by
+    min-|tsdf| pooling to each scale."""
+    total = 0.0
+    for t in tsdfs:
+        f = gt_tsdf.shape[0] // t.shape[1]
+        if f > 1:
+            mag = -nn.max_pool(-jnp.abs(gt_tsdf)[None, ..., None],
+                               (f, f, f), strides=(f, f, f))[0, ..., 0]
+            sgn = jnp.sign(nn.avg_pool(gt_tsdf[None, ..., None], (f, f, f),
+                                       strides=(f, f, f))[0, ..., 0])
+            gt_s = jnp.where(sgn == 0, 1.0, sgn) * mag
+            w_s = nn.max_pool(gt_weight[None, ..., None], (f, f, f),
+                              strides=(f, f, f))[0, ..., 0]
+        else:
+            gt_s, w_s = gt_tsdf, gt_weight
+        d = [min(a, b) for a, b in zip(t.shape[1:], gt_s.shape)]
+        total = total + atlas_tsdf_loss(t[0, :d[0], :d[1], :d[2]],
+                                        gt_s[:d[0], :d[1], :d[2]],
+                                        w_s[:d[0], :d[1], :d[2]])
+    return total
 
 
 def init_atlas(rng, img_size=(64, 80), dims=(32, 32, 32)):

@@ -41,20 +41,79 @@ def _upsample3d(x, factor=2):
     return x
 
 
-class _ScaleNet(nn.Module):
-    """Per-scale masked conv stack + occupancy/TSDF heads."""
+class _MaskedRes(nn.Module):
+    """torchsparse ResidualBlock (`models/modules.py:43-68`) on the masked
+    dense grid: conv-GN-relu-conv-GN + (projected) skip, relu."""
 
     features: int
 
     @nn.compact
     def __call__(self, x, mask):
-        for _ in range(2):
-            x = MaskedConv3d(self.features)(x, mask)
-            x = MaskedGroupNorm(4, self.features)(x, mask)
-            x = nn.relu(x) * mask
-        occ = nn.Conv(1, (1, 1, 1))(x)[..., 0]
-        tsdf = 1.05 * jnp.tanh(nn.Conv(1, (1, 1, 1))(x)[..., 0])
-        return x, occ, tsdf
+        g = 4 if self.features % 4 == 0 else 1
+        y = MaskedConv3d(self.features)(x, mask)
+        y = MaskedGroupNorm(g, self.features)(y, mask)
+        y = nn.relu(y) * mask
+        y = MaskedConv3d(self.features)(y, mask)
+        y = MaskedGroupNorm(g, self.features)(y, mask)
+        if x.shape[-1] != self.features:
+            x = MaskedConv3d(self.features, kernel=1)(x, mask)
+            x = MaskedGroupNorm(g, self.features)(x, mask)
+        return nn.relu(y + x) * mask
+
+
+class _ScaleNet(nn.Module):
+    """Per-scale SPVCNN-equivalent masked U-Net + occupancy/TSDF heads.
+
+    Mirrors torchsparse `SPVCNN` (`models/modules.py:72-160`): stem →
+    2 stride-2 stages of residual pairs → 2 deconv stages with skip
+    concatenation and residual pairs; channel plan cs = (32, 64, 128,
+    96, 96) * cr with cr halving at each finer pyramid level
+    (`neucon_network.py:38-44`).
+    """
+
+    cr: float = 1.0
+
+    @nn.compact
+    def __call__(self, x, mask):
+        cs = tuple(max(int(self.cr * c), 8) for c in (32, 64, 128, 96, 96))
+        from tdvnet.models.layers import downsample_mask
+
+        m0 = mask
+        x0 = MaskedConv3d(cs[0])(x, m0)
+        x0 = MaskedGroupNorm(4, cs[0])(x0, m0)
+        x0 = nn.relu(x0) * m0
+
+        m1 = downsample_mask(m0)
+        x1 = MaskedConv3d(cs[0], strides=2)(x0, m1)
+        x1 = MaskedGroupNorm(4, cs[0])(x1, m1)
+        x1 = nn.relu(x1) * m1
+        x1 = _MaskedRes(cs[1])(x1, m1)
+        x1 = _MaskedRes(cs[1])(x1, m1)
+
+        m2 = downsample_mask(m1)
+        x2 = MaskedConv3d(cs[1], strides=2)(x1, m2)
+        x2 = MaskedGroupNorm(4, cs[1])(x2, m2)
+        x2 = nn.relu(x2) * m2
+        x2 = _MaskedRes(cs[2])(x2, m2)
+        x2 = _MaskedRes(cs[2])(x2, m2)
+
+        from tdvnet.models.scene_unet import MaskedUpConv3d
+
+        u1 = MaskedUpConv3d(cs[3])(x2, m1)
+        u1 = MaskedGroupNorm(4, cs[3])(u1, m1)
+        u1 = nn.relu(u1) * m1
+        u1 = _MaskedRes(cs[3])(jnp.concatenate([u1, x1], -1), m1)
+        u1 = _MaskedRes(cs[3])(u1, m1)
+
+        u2 = MaskedUpConv3d(cs[4])(u1, m0)
+        u2 = MaskedGroupNorm(4, cs[4])(u2, m0)
+        u2 = nn.relu(u2) * m0
+        u2 = _MaskedRes(cs[4])(jnp.concatenate([u2, x0], -1), m0)
+        u2 = _MaskedRes(cs[4])(u2, m0)
+
+        occ = nn.Conv(1, (1, 1, 1))(u2)[..., 0]
+        tsdf = 1.05 * jnp.tanh(nn.Conv(1, (1, 1, 1))(u2)[..., 0])
+        return u2, occ, tsdf
 
 
 class _GRUFusion(nn.Module):
@@ -81,7 +140,9 @@ class NeuralReconNet(nn.Module):
     def setup(self):
         self.backbone = MnasMulti()
         self.fpn = FPN(self.feat_dim)
-        self.scale_nets = [_ScaleNet(HID) for _ in range(3)]
+        # channel ratio halves per finer level (`neucon_network.py:38-44`:
+        # SPVCNN(cr=1/2**i) coarse-to-fine)
+        self.scale_nets = [_ScaleNet(cr=1.0 / 2 ** i) for i in range(3)]
         self.adj = [MaskedConv3d(HID, kernel=1, use_bias=True)
                     for _ in range(3)]
         self.gru = _GRUFusion(HID)

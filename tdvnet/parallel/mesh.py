@@ -27,8 +27,18 @@ def make_mesh(axes: Tuple[str, ...] = ("data",),
 
 def initialize_distributed():
     """Multi-host init hook (`jax.distributed.initialize`); no-op when
-    single-process.  Call before any backend use on pods."""
+    single-process.  Call before any backend use on pods.
+
+    Cluster schedulers jax auto-detects (SLURM/OMPI/TPU pods) need only
+    JAX_COORDINATOR_ADDRESS; elsewhere set JAX_NUM_PROCESSES and
+    JAX_PROCESS_ID explicitly (exercised by tests/test_multiprocess.py)."""
     import os
 
-    if os.environ.get("JAX_COORDINATOR_ADDRESS"):
-        jax.distributed.initialize()
+    addr = os.environ.get("JAX_COORDINATOR_ADDRESS")
+    if not addr:
+        return
+    kwargs = {"coordinator_address": addr}
+    if os.environ.get("JAX_NUM_PROCESSES"):
+        kwargs["num_processes"] = int(os.environ["JAX_NUM_PROCESSES"])
+        kwargs["process_id"] = int(os.environ["JAX_PROCESS_ID"])
+    jax.distributed.initialize(**kwargs)
