@@ -32,7 +32,8 @@ from tdvnet.ops.sampling import bilinear_sample_batched, resize_nearest
 
 def gauss_newton_step(depth, ref_feat, src_feats, src_idx_row, src_mask_row,
                       rotmats, tvecs, K, ref_i, img_size,
-                      damping: float = 1e-4, step_clip: float = 0.5):
+                      damping: float = 1e-6, step_clip: float | None = None,
+                      accept_gate: bool = True):
     """One GN update of a single ref view's depth map.
 
     depth: [h, w]; ref_feat: [h, w, C] (ref features at depth res);
@@ -40,7 +41,11 @@ def gauss_newton_step(depth, ref_feat, src_feats, src_idx_row, src_mask_row,
 
     Solves per pixel: min_d sum_s ||F_s(pi_s(X(d))) - F_ref||^2 via
     delta = -(J^T r) / (J^T J + damping), with J from jax.jvp through the
-    projection+sampling — the reference's `gn_update` with exact AD.
+    projection+sampling — the reference's `gn_update`
+    (`mv3d/baselines/fastmvsnet/model.py:147-248`) with exact AD instead
+    of its hand-assembled chain rule.  Matching the reference: damping
+    1e-6 (`:228`) and an accept gate that keeps the update only where the
+    summed |residual| decreased (`:245-248`).
     """
     h, w = depth.shape
     H, W = img_size
@@ -76,8 +81,14 @@ def gauss_newton_step(depth, ref_feat, src_feats, src_idx_row, src_mask_row,
     JtJ = jnp.sum(jvp * jvp, axis=(0, 2))
     Jtr = jnp.sum(jvp * r, axis=(0, 2))
     delta = -Jtr / (JtJ + damping)
-    delta = jnp.clip(delta, -step_clip, step_clip)
-    return (d0 + delta).reshape(h, w)
+    if step_clip is not None:
+        delta = jnp.clip(delta, -step_clip, step_clip)
+    d1 = d0 + delta
+    if accept_gate:
+        first = jnp.sum(jnp.abs(r), axis=(0, 2))
+        second = jnp.sum(jnp.abs(residuals(d1)), axis=(0, 2))
+        d1 = jnp.where(second < first, d1, d0)
+    return d1.reshape(h, w)
 
 
 class FastMVSNet(nn.Module):
