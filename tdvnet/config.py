@@ -64,8 +64,6 @@ class ModelConfig:
     grid: GridConfig = field(default_factory=GridConfig)
     # compute dtype for convs/matmuls; accumulation & variance stay fp32
     dtype: Any = jnp.float32
-    # fused Pallas kernels for soft-argmax / propagation blend
-    use_pallas: bool = False
 
     @property
     def n_hyp(self) -> int:

@@ -50,7 +50,6 @@ class MVSNet(nn.Module):
     img_size: Tuple[int, int] = (256, 320)
     cost_base: int = 8
     dtype: jnp.dtype = jnp.float32
-    use_pallas: bool = False
 
     def setup(self):
         self.backbone = MnasMulti(dtype=self.dtype)
@@ -78,12 +77,7 @@ class MVSNet(nn.Module):
         depth_vals = jnp.linspace(depth_start, depth_end, n_planes,
                                   dtype=jnp.float32)
         prob = nn.softmax(-cost.astype(jnp.float32), axis=1)
-        if self.use_pallas and not train:
-            from tdvnet.kernels.depthops_pallas import softargmax_depth
-
-            depth = softargmax_depth(cost.astype(jnp.float32), depth_vals)
-        else:
-            depth = jnp.sum(prob * depth_vals[None, :, None, None], axis=1)
+        depth = jnp.sum(prob * depth_vals[None, :, None, None], axis=1)
         return depth, prob
 
     def __call__(self, images, rotmats, tvecs, K, ref_idx, src_idx, src_mask,

@@ -41,7 +41,7 @@ class ThreeDVNet(nn.Module):
     def setup(self):
         c = self.cfg
         self.mvsnet = MVSNet(c.feat_dim, c.img_size, c.cost_base_channels,
-                             dtype=c.dtype, use_pallas=c.use_pallas)
+                             dtype=c.dtype)
         # PointNet(hidden=4f, out=2f, in=f+3) per reference PL3DVNet.__init__
         self.pointnet = PointNet(4 * c.feat_dim, 2 * c.feat_dim, dtype=c.dtype)
         self.scene_unet = SceneUNet(c.unet_dims, c.unet_groups, c.unet_res,
@@ -49,12 +49,9 @@ class ThreeDVNet(nn.Module):
         self.decoder = HypothesisDecoder(c.decoder_hidden, c.hyp_ksize,
                                          dtype=c.dtype)
         self.refine_quarter = PropagationNet(c.propagation_hidden,
-                                             dtype=c.dtype,
-                                             use_pallas=c.use_pallas)
-        self.refine_half = PropagationNet(c.propagation_hidden, dtype=c.dtype,
-                                          use_pallas=c.use_pallas)
-        self.refine_full = PropagationNet(c.propagation_hidden, dtype=c.dtype,
-                                          use_pallas=c.use_pallas)
+                                             dtype=c.dtype)
+        self.refine_half = PropagationNet(c.propagation_hidden, dtype=c.dtype)
+        self.refine_full = PropagationNet(c.propagation_hidden, dtype=c.dtype)
 
     # ---------------------------------------------------------------- 2D stage
     def extract_features(self, images, train: bool = False):

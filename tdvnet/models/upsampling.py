@@ -30,7 +30,6 @@ def unfold3x3(depth: jnp.ndarray) -> jnp.ndarray:
 class PropagationNet(nn.Module):
     hidden: int = 32
     dtype: jnp.dtype = jnp.float32
-    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, guide: jnp.ndarray, depth: jnp.ndarray,
@@ -42,9 +41,5 @@ class PropagationNet(nn.Module):
         x = ConvBnRelu(self.hidden, dtype=self.dtype)(x, train)
         x = ConvBnRelu(self.hidden, dtype=self.dtype)(x, train)
         x = ConvBnRelu(9, dtype=self.dtype)(x, train)
-        if self.use_pallas and not train:
-            from tdvnet.kernels.depthops_pallas import propagation_blend
-
-            return propagation_blend(x.astype(jnp.float32), depth)
         w = nn.softmax(x.astype(jnp.float32), axis=-1)
         return jnp.sum(w * unfold3x3(depth), axis=-1)
