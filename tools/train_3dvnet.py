@@ -52,11 +52,20 @@ def main():
     bc = cfg.batch
 
     if args.synthetic:
-        from tools.make_synthetic_dataset import make_scene_dir
+        import concurrent.futures as cf
 
-        root = tempfile.mkdtemp(prefix="tdvnet_synth_")
-        scene_dirs = [make_scene_dir(root, f"s{i:03d}", 16, bc.img_size, i)
-                      for i in range(args.synthetic)]
+        from tools.make_synthetic_dataset import ensure_scene_dir
+
+        # deterministic cache dir: regenerating 48 scenes of ray-marched
+        # 256x320 views takes hours serially — cache + process-parallel
+        h, w = bc.img_size
+        root = os.path.join(tempfile.gettempdir(),
+                            f"tdvnet_synth_{args.synthetic}x16x{h}x{w}")
+        os.makedirs(root, exist_ok=True)
+        jobs = [(root, f"s{i:03d}", 16, bc.img_size, i)
+                for i in range(args.synthetic)]
+        with cf.ProcessPoolExecutor(max_workers=8) as pool:
+            scene_dirs = list(pool.map(ensure_scene_dir, jobs))
         train_dirs = val_dirs = scene_dirs
     else:
         assert args.scannet_dir, "--scannet-dir or --synthetic required"
