@@ -27,14 +27,10 @@ _CHUNK_BUDGET_ELEMS = 64 * 1024 * 1024
 
 
 def _pick_chunks(R: int, P: int, C: int) -> int:
-    """Largest chunk count dividing P such that R*(P/n)*C fits the budget."""
+    """Chunk count so R*ceil(P/n)*C fits the budget (P pads up to n*Pc —
+    no divisor requirement, so prime P no longer degrades to P chunks)."""
     need = (R * P * C + _CHUNK_BUDGET_ELEMS - 1) // _CHUNK_BUDGET_ELEMS
-    if need <= 1:
-        return 1
-    for n in range(int(need), P + 1):
-        if P % n == 0:
-            return n
-    return P
+    return max(1, min(int(need), P))
 
 
 def _source_variance(pts_world: jnp.ndarray, feats: jnp.ndarray,
@@ -85,12 +81,14 @@ def _source_variance(pts_world: jnp.ndarray, feats: jnp.ndarray,
     n_chunks = _pick_chunks(R, P, C)
     if n_chunks == 1:
         return variance_of(pts_world)
-    Pc = P // n_chunks
-    pts_c = pts_world.reshape(R, n_chunks, Pc, 3).transpose(1, 0, 2, 3)
+    Pc = -(-P // n_chunks)
+    pad = n_chunks * Pc - P
+    pts_p = jnp.pad(pts_world, ((0, 0), (0, pad), (0, 0)))
+    pts_c = pts_p.reshape(R, n_chunks, Pc, 3).transpose(1, 0, 2, 3)
     _, (var_c, mean_c) = jax.lax.scan(
         lambda _, p: (None, variance_of(p)), None, pts_c)
-    var = var_c.transpose(1, 0, 2, 3).reshape(R, P, C)
-    mean = mean_c.transpose(1, 0, 2, 3).reshape(R, P, C)
+    var = var_c.transpose(1, 0, 2, 3).reshape(R, n_chunks * Pc, C)[:, :P]
+    mean = mean_c.transpose(1, 0, 2, 3).reshape(R, n_chunks * Pc, C)[:, :P]
     return var, mean
 
 

@@ -137,3 +137,34 @@ def test_oct_packed_matches_trilinear(rng):
     out = trilinear_sample_octs(pack_trilinear_octs(vol), q, (X, Y, Z))
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_costvolume_chunking_pads_odd_point_counts(rng, monkeypatch):
+    """Prime P must not degrade to P chunks of 1 point (VERDICT r1 minor):
+    the point axis pads to n_chunks * ceil(P/n) and results are identical
+    to the unchunked path."""
+    import jax
+    from tdvnet.ops import camera, costvolume
+
+    R, S, C = 2, 2, 4
+    P = 97                                   # prime
+    feats = jnp.asarray(rng.standard_normal((3, 10, 12, C))
+                        .astype(np.float32))
+    pts = jnp.asarray(rng.uniform(-1, 1, (R, P, 3)).astype(np.float32)
+                      + np.array([0, 0, 3.0], np.float32))
+    K = jnp.asarray(np.tile(np.array(
+        [[9.0, 0, 6], [0, 9.0, 5], [0, 0, 1]], np.float32), (3, 1, 1)))
+    rot = jnp.asarray(np.tile(np.eye(3, dtype=np.float32), (3, 1, 1)))
+    tv = jnp.zeros((3, 3))
+    src_idx = jnp.asarray([[0, 1], [1, 2]])
+    src_mask = jnp.ones((R, S), bool)
+
+    ref = costvolume.hypothesis_point_variance(
+        pts, feats, src_idx, src_mask, rot, tv, K, (10, 12))
+
+    monkeypatch.setattr(costvolume, "_CHUNK_BUDGET_ELEMS", 64)
+    assert costvolume._pick_chunks(R, P, C) > 1
+    out = costvolume.hypothesis_point_variance(
+        pts, feats, src_idx, src_mask, rot, tv, K, (10, 12))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-6)
