@@ -181,8 +181,8 @@ def main():
         "metric": "eval_depth_fps_per_chip",
         "value": round(eval_fps, 2),
         "unit": "ref-frames/s, whole-scene streaming eval "
-                "(48 keyframes @256x320, 160x160x64 scene grid, "
-                "2x3 pointflow, 3-stage upsample)",
+                "(48 keyframes @256x320, auto-sized scene grid capped at "
+                "160x160x64, 2x3 pointflow, 3-stage upsample)",
         "vs_baseline": round(eval_fps / (TARGET_MULT * ref_est_fps), 3),
         "chip": chip,
         "peak_bf16_tflops": peak["bf16_tflops"] if peak else None,

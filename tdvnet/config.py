@@ -121,6 +121,7 @@ class TrainConfig:
     # TPU; remat trades FLOPs for activation memory)
     bf16_compute: bool = False       # compute dtype bf16, params/opt fp32
     remat: bool = False              # jax.checkpoint the forward in the step
+    grad_accum_steps: int = 1        # optax.MultiSteps microbatching
     loader_workers: int = 8          # reference: workers=8 (mv3d/train.py:31)
     loader_prefetch: int = 3
 

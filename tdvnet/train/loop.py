@@ -89,6 +89,10 @@ def create_state(cfg: Config, rng, batch: FrameBatch,
         tx = optax.multi_transform(
             {"train": tx, "frozen": optax.set_to_zero()},
             _backbone_bn_labels(params))
+    if t.grad_accum_steps > 1:
+        # microbatching: params update every grad_accum_steps steps with
+        # the averaged gradient (SURVEY §2.4 grad-accumulation row)
+        tx = optax.MultiSteps(tx, every_k_schedule=t.grad_accum_steps)
 
     state = TrainState.create(apply_fn=model.apply, params=params, tx=tx,
                               batch_stats=batch_stats)

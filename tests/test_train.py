@@ -183,3 +183,27 @@ def test_fit_accepts_streaming_loader(tmp_path):
     model, state = L.fit(cfg, loader, lambda: [], n_epochs=1,
                          log_dir=str(tmp_path / "runs"))
     assert state is not None
+
+
+def test_grad_accum_matches_large_batch(setup):
+    """k accumulation micro-steps == one update with the averaged grad."""
+    import dataclasses
+
+    cfg, fb, _, _ = setup
+    cfg_a = dataclasses.replace(
+        cfg, train=dataclasses.replace(cfg.train, grad_accum_steps=2))
+    model, state = L.create_state(cfg_a, jax.random.PRNGKey(0), fb,
+                                  steps_per_epoch=1)
+    step = L.make_train_step(model, cfg_a, n_iters=1, donate=False)
+    lam = jnp.float32(0.5)
+    p0 = jax.tree_util.tree_leaves(state.params)
+    s1, _ = step(state, fb, lam)
+    # after 1 micro-step params must be UNCHANGED (accumulating)
+    for a, b in zip(p0, jax.tree_util.tree_leaves(s1.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    s2, _ = step(s1, fb, lam)
+    # after the 2nd micro-step the update applies
+    changed = any(
+        not np.array_equal(np.asarray(a), np.asarray(b))
+        for a, b in zip(p0, jax.tree_util.tree_leaves(s2.params)))
+    assert changed
