@@ -80,8 +80,12 @@ def masked_group_norm(x: jnp.ndarray, mask: jnp.ndarray, num_groups: int,
         s1 = jax.lax.psum(s1, axis_name)
         s2 = jax.lax.psum(s2, axis_name)
     cnt = jnp.maximum(cnt, 1.0)
-    mean = s1 / cnt[:, None, :, None]
-    var = s2 / cnt[:, None, :, None] - mean * mean
+    # cnt is [B, 1, 1]; one trailing axis aligns it with s1/s2 [B, 1, G, 1]
+    # ([:, None, :, None] here would make a 5-D tensor that silently
+    # broadcast an extra batch dim — wrong stats for n_scenes >= 2)
+    denom = cnt[..., None]
+    mean = s1 / denom
+    var = s2 / denom - mean * mean
     xn = (xg - mean) * jax.lax.rsqrt(jnp.maximum(var, 0.0) + eps)
     xn = xn.reshape(B, gx, gy, gz, C).astype(x.dtype)
     return (xn * scale + bias) * mask

@@ -90,3 +90,23 @@ def test_sharded_scene_unet_matches_unsharded():
         np.testing.assert_allclose(np.asarray(o_sh["grid"]),
                                    np.asarray(o_ref["grid"]),
                                    atol=2e-4), o_ref["stride"]
+
+
+def test_masked_group_norm_multi_scene():
+    """B=2 masked GroupNorm == per-scene B=1 results (regression: a
+    broadcasting bug made B>=2 produce a shape error / wrong stats)."""
+    from tdvnet.models.layers import masked_group_norm
+
+    rng = np.random.default_rng(0)
+    B_, g, C, G = 2, 4, 8, 2
+    x = jnp.asarray(rng.normal(size=(B_, g, g, g, C)).astype(np.float32))
+    m = jnp.asarray((rng.uniform(size=(B_, g, g, g, 1)) > 0.4)
+                    .astype(np.float32))
+    scale = jnp.asarray(rng.uniform(0.5, 1.5, C).astype(np.float32))
+    bias = jnp.asarray(rng.uniform(-0.2, 0.2, C).astype(np.float32))
+
+    full = masked_group_norm(x, m, G, scale, bias)
+    for b in range(B_):
+        one = masked_group_norm(x[b:b + 1], m[b:b + 1], G, scale, bias)
+        np.testing.assert_allclose(np.asarray(full[b]), np.asarray(one[0]),
+                                   rtol=1e-5, atol=1e-5)
