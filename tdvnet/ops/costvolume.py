@@ -62,6 +62,11 @@ def _source_variance(pts_world: jnp.ndarray, feats: jnp.ndarray,
     def variance_of(pts_chunk):
         Pc = pts_chunk.shape[1]
 
+        # per-step remat: without it the backward pass stacks every scan
+        # iteration's gathered [R, Pc, C] features (6 GB at train shapes —
+        # the round-2 HBM OOM); recomputing the gather in the backward
+        # keeps only the carry live
+        @jax.checkpoint
         def body(carry, s):
             acc, acc_sq = carry
             idx = src_idx[:, s]                  # [R]
@@ -86,7 +91,7 @@ def _source_variance(pts_world: jnp.ndarray, feats: jnp.ndarray,
     pts_p = jnp.pad(pts_world, ((0, 0), (0, pad), (0, 0)))
     pts_c = pts_p.reshape(R, n_chunks, Pc, 3).transpose(1, 0, 2, 3)
     _, (var_c, mean_c) = jax.lax.scan(
-        lambda _, p: (None, variance_of(p)), None, pts_c)
+        lambda _, p: (None, jax.checkpoint(variance_of)(p)), None, pts_c)
     var = var_c.transpose(1, 0, 2, 3).reshape(R, n_chunks * Pc, C)[:, :P]
     mean = mean_c.transpose(1, 0, 2, 3).reshape(R, n_chunks * Pc, C)[:, :P]
     return var, mean

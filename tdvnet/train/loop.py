@@ -83,7 +83,10 @@ def create_state(cfg: Config, rng, batch: FrameBatch,
     lr = t.finetune_lr if t.finetune else t.lr
     step_e = t.finetune_lr_step if t.finetune else t.lr_step
     gamma = t.finetune_lr_gamma if t.finetune else t.lr_gamma
-    sched = make_lr_schedule(lr, step_e, gamma, steps_per_epoch)
+    # MultiSteps only advances the inner optimizer (and its schedule
+    # counter) once per grad_accum_steps microbatches
+    updates_per_epoch = -(-steps_per_epoch // max(t.grad_accum_steps, 1))
+    sched = make_lr_schedule(lr, step_e, gamma, updates_per_epoch)
     tx = optax.adam(sched)
     if not t.finetune:
         tx = optax.multi_transform(

@@ -35,6 +35,9 @@ def main():
                     help="bf16 compute (fp32 params/optimizer)")
     ap.add_argument("--remat", action="store_true",
                     help="rematerialize the forward in the backward pass")
+    ap.add_argument("--grad-accum", type=int, default=1,
+                    help="accumulate gradients over K microbatches "
+                         "(effective batch = batch-scenes * K)")
     args = ap.parse_args()
 
     from tdvnet.config import load_config
@@ -47,7 +50,8 @@ def main():
 
     cfg = load_config({"train": {"finetune": args.finetune,
                                  "bf16_compute": args.bf16,
-                                 "remat": args.remat},
+                                 "remat": args.remat,
+                                 "grad_accum_steps": args.grad_accum},
                        "batch": {"n_scenes": args.batch_scenes}})
     bc = cfg.batch
 
