@@ -207,14 +207,21 @@ class PointMVSNet(nn.Module):
         feats.append(jnp.tile(xyz_n, (1, 1, 8)))
         feat = jnp.concatenate(feats, axis=-1)          # [R, LHW, C]
 
-        def per_ref(f_r, xyz_r):
-            knn = local_knn(xyz_r, h, w, L)
-            y1 = self.edge1(f_r, knn, train)
-            y2 = self.edge2(y1, knn, train)
-            y3 = self.edge3(y2, knn, train)
-            return jnp.concatenate([y1, y2, y3], axis=-1)
-
-        edge = jax.vmap(per_ref)(feat, xyz_n)           # [R, LHW, 192]
+        # flatten refs into the point axis (knn indices offset per ref)
+        # instead of jax.vmap over the bound EdgeConv modules: module calls
+        # under plain vmap leak BatchNorm's mutable stats out of the trace,
+        # and the reference's BatchNorm2d normalizes across the whole batch
+        # anyway (`networks.py:9-47`)
+        P = L * h * w
+        knn = jax.vmap(lambda x: local_knn(x, h, w, L))(xyz_n)  # [R, P, k]
+        knn_flat = (knn + (jnp.arange(R) * P)[:, None, None]).reshape(
+            R * P, -1)
+        f_flat = feat.reshape(R * P, -1)
+        y1 = self.edge1(f_flat, knn_flat, train)
+        y2 = self.edge2(y1, knn_flat, train)
+        y3 = self.edge3(y2, knn_flat, train)
+        edge = jnp.concatenate([y1, y2, y3], axis=-1)   # [R*P, 192]
+        edge = edge.reshape(R, P, -1)
         logits = self.flow_mlp(edge)[..., 0].reshape(R, L, h, w)
         flow_prob = nn.softmax(-logits, axis=1)
         flow = jnp.sum(flow_prob * ivals[None, :, None, None], axis=1)

@@ -140,6 +140,10 @@ def fuse_scene(depths: np.ndarray, colors: np.ndarray,
         pts_all.append(p.transpose(0, 2, 1)[mask])
     pts_all = np.concatenate(pts_all, axis=0)
     pts_all = pts_all[np.isfinite(pts_all).all(axis=1)]
+    if pts_all.shape[0] == 0:
+        # all-empty depth maps (e.g. an untrained method renders nothing):
+        # integrate over a minimal unit volume -> empty mesh, not a crash
+        pts_all = np.array([[0.0, 0.0, 0.0], [1.0, 1.0, 1.0]], np.float32)
     lo, hi = compute_bounds(pts_all, quantile, margin)
     dims = np.minimum(np.ceil((hi - lo) / voxel_size).astype(int), max_dim)
     dims = tuple(int(x) for x in np.maximum(dims, 8))

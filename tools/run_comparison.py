@@ -87,9 +87,12 @@ def method_3dvnet(args, train_views, cfg):
         bc.n_views, bc.n_ref, bc.n_src_on_either_side)
     model, state = create_state(cfg, jax.random.PRNGKey(0), fb)
     restored = C.restore(args.ckpt_dir, state)
-    assert restored is not None, f"no checkpoint in {args.ckpt_dir}"
-    state, ep = restored
-    print(f"[3dvnet] restored epoch {ep}")
+    if restored is None:
+        assert args.quick, f"no checkpoint in {args.ckpt_dir}"
+        print("[3dvnet] QUICK: no checkpoint, using random init")
+    else:
+        state, ep = restored
+        print(f"[3dvnet] restored epoch {ep}")
     return make_3dvnet_pred_fn(
         model, {"params": state.params, "batch_stats": state.batch_stats},
         cfg), True
@@ -185,7 +188,7 @@ def method_gpmvs(args, train_views, cfg):
                     jnp.asarray(v["K"][i]),
                     jnp.asarray(v["rotmats"][[i - 1, i + 1]]),
                     jnp.asarray(v["tvecs"][[i - 1, i + 1]]),
-                    jnp.asarray(v["K"][[i - 1, i + 1]])))
+                    jnp.asarray(v["K"][[i - 1, i + 1]]), IMG))
             poses = np.tile(np.eye(4, dtype=np.float32), (seq, 1, 1))
             poses[:, :3, :3] = v["rotmats"][idx]
             poses[:, :3, 3] = v["tvecs"][idx]
@@ -366,12 +369,30 @@ METHODS = {
 
 
 def main():
+    global IMG, N_VIEWS, TRAIN_STEPS, N_TRAIN_SCENES, N_EVAL_SCENES
+
     ap = argparse.ArgumentParser()
     ap.add_argument("--workdir", required=True)
     ap.add_argument("--ckpt-dir", default="ckpts/r2_synth48")
     ap.add_argument("--methods", default=",".join(METHODS))
     ap.add_argument("--out", default="RESULTS.md")
+    ap.add_argument("--quick", action="store_true",
+                    help="tiny shapes + CPU platform: shake out the "
+                         "pipeline without touching the TPU")
+    ap.add_argument("--train-steps", type=int, default=None)
     args = ap.parse_args()
+
+    if args.quick:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+        IMG = (64, 80)
+        N_VIEWS = 10
+        TRAIN_STEPS = 4
+        N_TRAIN_SCENES = 2
+        N_EVAL_SCENES = 1
+    if args.train_steps is not None:
+        TRAIN_STEPS = args.train_steps
 
     from tools.make_synthetic_dataset import make_scene_dir
     from tdvnet.eval import harness
