@@ -12,6 +12,7 @@ pred_fn signature here: pred_fn(views: dict, scene_dir: str, dset: Dataset)
 """
 from __future__ import annotations
 
+import concurrent.futures as cf
 import os
 from typing import Callable, Optional, Sequence
 
@@ -41,6 +42,26 @@ def main(save_dirname: str, pred_fn: Callable, cfg: Config,
                    img_size=cfg.batch.img_size, augment=False,
                    n_src_on_either_side=e.n_src_on_either_side)
 
+    # scene-level pipelining: the next scene's frames load on a worker
+    # thread while the device predicts the current one, and the host-side
+    # metric stages (fusion, KD-trees, rasterization) run in the background
+    # so the device never idles on host work.  The reference runs these
+    # serially (`mv3d/eval/main.py:44-113`).
+    load_pool = cf.ThreadPoolExecutor(1)
+    metrics_pool = cf.ThreadPoolExecutor(1)
+    metric_futs = []
+
+    def _metrics_for(scene, scene_save_dir):
+        processresults.process_scene_2d_metrics(scene, scene_save_dir,
+                                                overwrite)
+        if depth:
+            processresults.process_depth_3d_metrics(
+                scene, scene_save_dir, e, mask_using_gt_mesh, overwrite)
+        else:
+            processresults.process_volume_3d_metrics(
+                scene, scene_save_dir, e, mask_using_gt_mesh, overwrite)
+
+    views_fut = (None, None)                     # (scene index, future)
     for j, scene in enumerate(scenes[start_idx:]):
         scene_name = os.path.basename(scene)
         print(f"{j + 1 + start_idx} / {len(scenes)}: {scene_name}")
@@ -49,7 +70,13 @@ def main(save_dirname: str, pred_fn: Callable, cfg: Config,
         pred_path = os.path.join(scene_save_dir, "preds.npz")
 
         if not os.path.exists(pred_path) or overwrite:
-            views = dset.load_views(j + start_idx, seed_idx=0)
+            idx = j + start_idx
+            views = views_fut[1].result() if views_fut[0] == idx \
+                else dset.load_views(idx, seed_idx=0)
+            if idx + 1 < len(scenes):
+                views_fut = (idx + 1,
+                             load_pool.submit(dset.load_views, idx + 1,
+                                              seed_idx=0))
             k = dset.k
             n_imgs = views["images"].shape[0]
             ref_sel = np.arange(k, n_imgs - k)
@@ -99,15 +126,13 @@ def main(save_dirname: str, pred_fn: Callable, cfg: Config,
                 preds["final_prob"] = final_prob
             np.savez(pred_path, **preds)
 
-        processresults.process_scene_2d_metrics(scene, scene_save_dir,
-                                                overwrite)
-        if depth:
-            processresults.process_depth_3d_metrics(
-                scene, scene_save_dir, e, mask_using_gt_mesh, overwrite)
-        else:
-            processresults.process_volume_3d_metrics(
-                scene, scene_save_dir, e, mask_using_gt_mesh, overwrite)
+        metric_futs.append(
+            metrics_pool.submit(_metrics_for, scene, scene_save_dir))
 
+    for f in metric_futs:
+        f.result()                               # surface worker exceptions
+    load_pool.shutdown()
+    metrics_pool.shutdown()
     return processresults.calc_avg_metrics(save_dir)
 
 
