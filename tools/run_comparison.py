@@ -467,6 +467,28 @@ def main():
             f.write(f"| {name} | " + " | ".join(cells) + " |\n")
     print(f"wrote {args.out}")
 
+    # interactive side-by-side viewer (reference `mv3d/eval/visualizer.py`)
+    from tdvnet.eval.export_viewer import export_viewer
+
+    res_root = os.path.join(args.workdir, "results")
+    method_dirs = []
+    for name, avg in rows.items():
+        if "error" in avg:
+            continue
+        volumetric = name in ("atlas", "neuralrecon")
+        method_dirs.append(
+            (name, os.path.join(res_root, name, "scenes"),
+             "trimmed_mesh_masked.ply" if volumetric
+             else "fused_0.010_3v_masked.ply",
+             "metrics_3d_masked.json" if volumetric
+             else "metrics_3d_0.010_3v_masked.json"))
+    try:
+        out = export_viewer(method_dirs, eval_dirs,
+                            os.path.join(args.workdir, "viewer.html"))
+        print(f"wrote {out}")
+    except ValueError as e:
+        print(f"viewer export skipped: {e}")
+
 
 if __name__ == "__main__":
     main()
