@@ -147,7 +147,7 @@ class SceneInference:
         self._init_depth = wrap(self._init_depth_impl)
         self._scene = wrap(self._scene_impl, static_argnames=("grid_cfg",))
         self._pointflow = wrap(self._pointflow_impl,
-                               static_argnames=("offset", "grid_cfg"))
+                               static_argnames=("offsets", "grid_cfg"))
         self._upsample = wrap(self._upsample_impl)
         if mesh is not None:
             from tdvnet.models.scene_unet import SceneUNet
@@ -189,10 +189,10 @@ class SceneInference:
                                 grid_cfg, False, method="model_scene")
 
     def _pointflow_impl(self, variables, scales, origins, depth, quarter,
-                        batch, offset, grid_cfg):
+                        batch, offsets, grid_cfg):
         return self.model.apply(variables, scales, origins, depth, quarter,
-                                batch, offset, 3, grid_cfg, False,
-                                method="run_pointflow")
+                                batch, offsets, 3, grid_cfg, False,
+                                method="run_pointflow_multi")
 
     def _scene_dense_impl(self, variables, depth_all, quarter_all, batch,
                           grid_cfg):
@@ -343,23 +343,27 @@ class SceneInference:
                                                       scene_batch, gc)
             for sk, sv in sstats.items():
                 stats_acc[sk] = stats_acc.get(sk, 0) + int(sv)
-            for off in offsets:
-                new_chunks = []
-                for r0 in range(0, R, OC):
-                    r1 = min(r0 + OC, R)
-                    cb, n_valid = _chunk_batch(views, r0, r1, k, OC)
-                    q = feats_quarter[r0:r0 + OC + 2 * k]
-                    qpad = OC + 2 * k - q.shape[0]
-                    if qpad:
-                        q = jnp.concatenate([q, jnp.repeat(q[-1:], qpad, 0)], 0)
-                    dch = d_pad[r0:r0 + OC]
-                    delta = self._pointflow(self.variables, scales, origins,
-                                            dch, q, cb, offset=float(off),
-                                            grid_cfg=gc)
-                    new_chunks.append((dch + delta)[:n_valid])
-                depth_all = jnp.concatenate(new_chunks, axis=0)
-                d_pad = jnp.concatenate(
-                    [depth_all, jnp.zeros((Rb - R, h, w), jnp.float32)], 0)
+            new_chunks = []
+            for r0 in range(0, R, OC):
+                r1 = min(r0 + OC, R)
+                cb, n_valid = _chunk_batch(views, r0, r1, k, OC)
+                q = feats_quarter[r0:r0 + OC + 2 * k]
+                qpad = OC + 2 * k - q.shape[0]
+                if qpad:
+                    q = jnp.concatenate([q, jnp.repeat(q[-1:], qpad, 0)], 0)
+                dch = d_pad[r0:r0 + OC]
+                # all of this iteration's offset passes in one dispatch —
+                # refs are independent, so the offset chain lives inside
+                # the per-chunk graph (run_pointflow_multi)
+                dnew = self._pointflow(self.variables, scales, origins,
+                                       dch, q, cb,
+                                       offsets=tuple(float(o)
+                                                     for o in offsets),
+                                       grid_cfg=gc)
+                new_chunks.append(dnew[:n_valid])
+            depth_all = jnp.concatenate(new_chunks, axis=0)
+            d_pad = jnp.concatenate(
+                [depth_all, jnp.zeros((Rb - R, h, w), jnp.float32)], 0)
 
         self.last_scene_stats = stats_acc
         dropped = stats_acc.get("n_out_of_grid", 0) \

@@ -182,6 +182,21 @@ class ThreeDVNet(nn.Module):
         pred = jnp.sum(probs * offset_vals[None, :], axis=-1)
         return pred.reshape(R, h, w)
 
+    def run_pointflow_multi(self, scales, origins, depth_pred, feats_quarter,
+                            batch: FrameBatch, offsets, n: int = 3,
+                            grid_cfg: Optional[GridConfig] = None,
+                            train: bool = False):
+        """All of one refinement iteration's offset passes in a single
+        graph (ref inner loop `eval-3dvnet.py:83-88`): depth carries
+        between the statically-unrolled passes.  One device dispatch per
+        chunk instead of one per (chunk, offset) — on a remote-tunnel TPU
+        the roundtrip latency is the difference."""
+        for off in offsets:
+            depth_pred = depth_pred + self.run_pointflow(
+                scales, origins, depth_pred, feats_quarter, batch,
+                float(off), n, grid_cfg, train)
+        return depth_pred
+
     def upsample(self, depth_pred, feats_half, feats_quarter, images,
                  ref_idx, train: bool = False):
         """3-stage guided upsampling: coarse → 1/4 → 1/2 → full."""
