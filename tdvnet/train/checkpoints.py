@@ -66,3 +66,19 @@ def restore(ckpt_dir: str, state_template) -> Optional[Tuple[Any, int]]:
     ckptr = ocp.StandardCheckpointer()
     restored = ckptr.restore(path, jax.device_get(state_template))
     return restored, ep
+
+
+def restore_params(ckpt_dir: str) -> Optional[Tuple[dict, int]]:
+    """Restore only params/batch_stats from the latest checkpoint, without
+    a state template — robust to optimizer-config differences between the
+    training run and the consumer (e.g. eval restoring a MultiSteps
+    checkpoint)."""
+    ep = latest_epoch(ckpt_dir)
+    if ep is None:
+        return None
+    path = os.path.join(os.path.abspath(ckpt_dir), f"epoch_{ep:05d}")
+    raw = ocp.StandardCheckpointer().restore(path)
+    out = {"params": raw["params"]}
+    if raw.get("batch_stats") is not None:
+        out["batch_stats"] = raw["batch_stats"]
+    return out, ep

@@ -34,11 +34,9 @@ def main():
     args = ap.parse_args()
 
     from tdvnet.config import load_config
-    from tdvnet.data import batch as B, synthetic
     from tdvnet.eval.harness import main as harness_main, make_3dvnet_pred_fn
     from tdvnet.models.threedvnet import ThreeDVNet
     from tdvnet.train import checkpoints as C
-    from tdvnet.train.loop import create_state
 
     overrides = {"eval": {"dataset_type": args.dataset,
                           "save_dir": args.save_dir}}
@@ -63,20 +61,17 @@ def main():
         cfg = dataclasses.replace(
             cfg, model=dataclasses.replace(cfg.model, dtype=jnp.bfloat16))
 
-    # build a state template from a tiny synthetic batch, restore checkpoint
-    bc = cfg.batch
-    fb = B.collate_scenes(
-        [synthetic.make_batch_scene(bc.n_views, bc.img_size,
-                                    bc.depth_img_size, seed=0)],
-        bc.n_views, bc.n_ref, bc.n_src_on_either_side)
-    model, state = create_state(cfg, jax.random.PRNGKey(0), fb)
-    restored = C.restore(args.ckpt_dir, state)
+    # params-only restore: no state template (and no init compile), and
+    # robust to whatever optimizer config the training run used
+    model = ThreeDVNet(cfg.model)
+    restored = C.restore_params(args.ckpt_dir)
     if restored is None:
         raise FileNotFoundError(f"no checkpoint in {args.ckpt_dir}")
-    state, epoch = restored
+    raw, epoch = restored
     print(f"restored epoch {epoch} from {args.ckpt_dir}")
 
-    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    variables = {"params": raw["params"],
+                 "batch_stats": raw.get("batch_stats", {})}
     pred_fn = make_3dvnet_pred_fn(model, variables, cfg)
     harness_main(args.name, pred_fn, cfg, depth=True,
                  overwrite=args.overwrite)

@@ -86,16 +86,18 @@ def method_3dvnet(args, train_views, cfg):
                                     bc.depth_img_size, seed=0)],
         bc.n_views, bc.n_ref, bc.n_src_on_either_side)
     model, state = create_state(cfg, jax.random.PRNGKey(0), fb)
-    restored = C.restore(args.ckpt_dir, state)
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    restored = C.restore_params(args.ckpt_dir)
     if restored is None:
         assert args.quick, f"no checkpoint in {args.ckpt_dir}"
         print("[3dvnet] QUICK: no checkpoint, using random init")
     else:
-        state, ep = restored
-        print(f"[3dvnet] restored epoch {ep}")
-    return make_3dvnet_pred_fn(
-        model, {"params": state.params, "batch_stats": state.batch_stats},
-        cfg), True
+        raw, ep = restored
+        variables = {"params": raw["params"],
+                     "batch_stats": raw.get("batch_stats",
+                                            state.batch_stats)}
+        print(f"[3dvnet] restored epoch {ep} (params-only)")
+    return make_3dvnet_pred_fn(model, variables, cfg), True
 
 
 def _brief_train(state, step, batches, label):
