@@ -115,6 +115,11 @@ def main():
           f"({R / t_wall:.2f} ref-frames/s)", flush=True)
     gc = inf._choose_grid(views, depth_np[:, ::4, ::4], R)
     print(f"auto grid: {gc.grid_size}", flush=True)
+    # coarse (depth_test.size) depth for the scene/pointflow stages —
+    # predict_scene returns full-res upsampled maps
+    yi = np.linspace(0, depth_np.shape[1] - 1, h).astype(int)
+    xi = np.linspace(0, depth_np.shape[2] - 1, w).astype(int)
+    depth_np = depth_np[:, yi[:, None], xi[None, :]]
 
     imgs32 = jnp.asarray(views["images"][:32])
 
