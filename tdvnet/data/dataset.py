@@ -160,11 +160,15 @@ class Dataset:
                           (_adjust_brightness, self.rng.uniform(-0.03, 0.03))]
             self.rng.shuffle(transforms)
 
-        out_images = []
+        out_images, out_u8 = [], []
         for img in images:
             x = img / 255.0
             for fn, val in transforms:
                 x = fn(x, val)
+            # raw uint8 alongside the normalized floats: remote-TPU eval
+            # uploads this 4x-smaller stack and normalizes on device
+            out_u8.append(np.clip(np.round(x * 255.0), 0, 255)
+                          .astype(np.uint8))
             x = x * 255.0 / self.scale_rgb
             x = (x - self.mean_rgb) / self.std_rgb
             out_images.append(x.astype(np.float32))
@@ -186,6 +190,10 @@ class Dataset:
 
         return {
             "images": np.stack(out_images),
+            "images_u8": np.stack(out_u8),
+            "rgb_scale": float(self.scale_rgb),
+            "rgb_mean": self.mean_rgb,
+            "rgb_std": self.std_rgb,
             "depth": depth_all.astype(np.float32),
             "rotmats": rotmats.astype(np.float32),
             "tvecs": tvecs.astype(np.float32),

@@ -84,7 +84,7 @@ def make_scene(n_views: int = 9, img_size: Tuple[int, int] = (64, 80),
     f = 0.9 * W
     K = np.array([[f, 0, W / 2.0], [0, f, H / 2.0], [0, 0, 1]], np.float32)
 
-    images, depths, rotmats, tvecs, poses = [], [], [], [], []
+    images, images_u8, depths, rotmats, tvecs, poses = [], [], [], [], [], []
     for i in range(n_views):
         # constant angular step so adjacent views always overlap well
         # (~5.7 deg between outward-looking neighbors)
@@ -107,6 +107,8 @@ def make_scene(n_views: int = 9, img_size: Tuple[int, int] = (64, 80),
         t = (-R @ c).astype(np.float32)
 
         rgb, depth = _render_box(K, R, t, img_size, box_min, box_max)
+        images_u8.append(np.clip(np.round(rgb * 255.0), 0, 255)
+                         .astype(np.uint8))
         if normalize:
             rgb = (rgb - IMAGENET_MEAN) / IMAGENET_STD
         images.append(rgb)
@@ -118,7 +120,7 @@ def make_scene(n_views: int = 9, img_size: Tuple[int, int] = (64, 80),
         pose[:3, 3] = c
         poses.append(pose)
 
-    return {
+    out = {
         "images": np.stack(images),
         "depth": np.stack(depths),
         "rotmats": np.stack(rotmats),
@@ -126,6 +128,14 @@ def make_scene(n_views: int = 9, img_size: Tuple[int, int] = (64, 80),
         "K": np.repeat(K[None], n_views, 0),
         "poses": np.stack(poses),
     }
+    if normalize:
+        # uint8 fast-upload path (see SceneInference._device_images); only
+        # meaningful when images are ImageNet-normalized floats
+        out["images_u8"] = np.stack(images_u8)
+        out["rgb_scale"] = 255.0
+        out["rgb_mean"] = IMAGENET_MEAN
+        out["rgb_std"] = IMAGENET_STD
+    return out
 
 
 def make_batch_scene(n_views: int, img_size, depth_size, seed: int,

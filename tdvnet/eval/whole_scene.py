@@ -149,6 +149,13 @@ class SceneInference:
         self._pointflow = wrap(self._pointflow_impl,
                                static_argnames=("offsets", "grid_cfg"))
         self._upsample = wrap(self._upsample_impl)
+        # uint8 upload path: the remote-TPU tunnel measures ~40 MB/s up, so
+        # shipping 256x320 float32 stacks costs seconds per scene; uint8 is
+        # 4x smaller and normalization runs on device.
+        self._norm_u8 = jax.jit(
+            lambda u8, scale, mean, std:
+            (u8.astype(jnp.float32) / scale - mean) / std)
+        self._pack = jax.jit(self._pack_impl)
         if mesh is not None:
             from tdvnet.models.scene_unet import SceneUNet
 
@@ -228,6 +235,33 @@ class SceneInference:
         return self.model.apply(variables, depth, half, quarter, images,
                                 ref_idx, False, method="upsample")
 
+    @staticmethod
+    def _pack_impl(grids):
+        """Oct-pack every U-Net scale once per scene iteration so the
+        pointflow chunks gather from prebuilt tables instead of re-packing
+        (or 8-tap-sampling) inside every chunk dispatch."""
+        from tdvnet.models.hypothesis import pack_scales
+
+        return pack_scales(grids)
+
+    def _pack_scene_scales(self, scales):
+        octs = self._pack([sc["grid"] for sc in scales])
+        return [dict(sc, octs=o, dims=tuple(sc["grid"].shape[1:4]))
+                for sc, o in zip(scales, octs)]
+
+    def _device_images(self, views):
+        """All scene images as one normalized float32 device stack.
+
+        Prefers the `images_u8` raw stack (4x less tunnel traffic than the
+        pre-normalized float images; normalization runs on device)."""
+        u8 = views.get("images_u8")
+        if u8 is None:
+            return jnp.asarray(views["images"])
+        scale = jnp.float32(views.get("rgb_scale", 255.0))
+        mean = jnp.asarray(views["rgb_mean"], jnp.float32)
+        std = jnp.asarray(views["rgb_std"], jnp.float32)
+        return self._norm_u8(jnp.asarray(u8), scale, mean, std)
+
     def _choose_grid(self, views: Dict, depth_all: np.ndarray,
                      R: int) -> GridConfig:
         """Pick the scene-volume grid for this scene.
@@ -295,15 +329,18 @@ class SceneInference:
         assert R >= 1, "scene too short"
         h, w = cfg.model.depth_test.size
 
+        # one normalized image stack on device for stages A and E
+        imgs_dev = self._device_images(views)
+
         # Stage A: features for all images, chunked
         CH = 32
         halves, quarters = [], []
         for i0 in range(0, n_imgs, CH):
-            sl = views["images"][i0:i0 + CH]
+            sl = imgs_dev[i0:i0 + CH]
             pad = CH - sl.shape[0]
             if pad:
-                sl = np.concatenate([sl, np.repeat(sl[-1:], pad, 0)], 0)
-            fh, fq, _ = self._feat(self.variables, jnp.asarray(sl))
+                sl = jnp.concatenate([sl, jnp.repeat(sl[-1:], pad, 0)], 0)
+            fh, fq, _ = self._feat(self.variables, sl)
             halves.append(fh if not pad else fh[:-pad])
             quarters.append(fq if not pad else fq[:-pad])
         feats_half = jnp.concatenate(halves, axis=0)
@@ -341,6 +378,7 @@ class SceneInference:
         for offsets in self.offsets_list:
             scales, origins, sstats = self._run_scene(d_pad, q_all,
                                                       scene_batch, gc)
+            scales = self._pack_scene_scales(scales)
             for sk, sv in sstats.items():
                 stats_acc[sk] = stats_acc.get(sk, 0) + int(sv)
             new_chunks = []
@@ -389,7 +427,7 @@ class SceneInference:
             if pad:
                 dch = jnp.concatenate([dch, jnp.repeat(dch[-1:], pad, 0)], 0)
             img_sel = np.clip(np.arange(r0, r0 + UC) + k, 0, n_imgs - 1)
-            imgs = jnp.asarray(views["images"][img_sel])
+            imgs = imgs_dev[img_sel]
             half = feats_half[img_sel]
             quarter = feats_quarter[img_sel]
             ridx = jnp.arange(UC, dtype=jnp.int32)

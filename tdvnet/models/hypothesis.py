@@ -22,8 +22,28 @@ from tdvnet.ops.sampling import (pack_trilinear_octs,
                                  trilinear_sample_octs_batched)
 
 # oct-packed tables cost 8x the grid's memory; above this budget fall back
-# to the 8-tap sampler (the 160x160x64 eval grid's finest scale)
-_PACK_BUDGET_BYTES = 512 * 1024 * 1024
+# to the 8-tap sampler.  1.75 GB admits the finest scale of auto-sized eval
+# grids up to ~160x160x64 (bf16) — one wide-row gather beats eight C-wide
+# ones by ~8x on TPU (gather cost is per row).
+_PACK_BUDGET_BYTES = 1792 * 1024 * 1024
+
+
+def pack_scales(grids):
+    """Oct-pack a list of dense scale grids ([B, X, Y, Z, C] each).
+
+    Returns one packed table per scale (None where the table would exceed
+    the budget).  Used by the eval path to build the tables ONCE per scene
+    iteration instead of inside every pointflow chunk dispatch."""
+    out = []
+    for g in grids:
+        B, X, Y, Z, C = g.shape
+        packed_bytes = (B * (X + 1) * (Y + 1) * (Z + 1) * 8 * C
+                        * g.dtype.itemsize)
+        if packed_bytes <= _PACK_BUDGET_BYTES:
+            out.append(jax.vmap(pack_trilinear_octs)(g))
+        else:
+            out.append(None)
+    return out
 
 
 def sample_scales(scales, pts: jnp.ndarray, origins: jnp.ndarray,
@@ -46,8 +66,13 @@ def sample_scales(scales, pts: jnp.ndarray, origins: jnp.ndarray,
     feats = []
     for sc in scales:
         s = sc["stride"]
-        g = sc["grid"]
         q = (pts - center0[:, None, :]) / (s * edge_len)
+        if sc.get("octs") is not None:              # prepacked (eval path)
+            X, Y, Z = sc["dims"]
+            feats.append(trilinear_sample_octs_batched(sc["octs"], q,
+                                                       (X, Y, Z)))
+            continue
+        g = sc["grid"]
         B, X, Y, Z, C = g.shape
         packed_bytes = (B * (X + 1) * (Y + 1) * (Z + 1) * 8 * C
                         * g.dtype.itemsize)
