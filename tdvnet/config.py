@@ -64,6 +64,10 @@ class ModelConfig:
     grid: GridConfig = field(default_factory=GridConfig)
     # compute dtype for convs/matmuls; accumulation & variance stay fp32
     dtype: Any = jnp.float32
+    # plane-sweep warp: "matmul" = two-pass homography resampling on the
+    # MXU (tdvnet/ops/warp.py, ~4.3x the gather path on v5e); "gather" =
+    # quad-packed bilinear gathers (exact grid_sample semantics)
+    warp_mode: str = "matmul"
 
     @property
     def n_hyp(self) -> int:

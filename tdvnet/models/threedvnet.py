@@ -41,7 +41,7 @@ class ThreeDVNet(nn.Module):
     def setup(self):
         c = self.cfg
         self.mvsnet = MVSNet(c.feat_dim, c.img_size, c.cost_base_channels,
-                             dtype=c.dtype)
+                             dtype=c.dtype, warp_mode=c.warp_mode)
         # PointNet(hidden=4f, out=2f, in=f+3) per reference PL3DVNet.__init__
         self.pointnet = PointNet(4 * c.feat_dim, 2 * c.feat_dim, dtype=c.dtype)
         self.scene_unet = SceneUNet(c.unet_dims, c.unet_groups, c.unet_res,

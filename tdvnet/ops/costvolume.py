@@ -103,13 +103,26 @@ def plane_sweep_cost_volume(feats: jnp.ndarray, rotmats: jnp.ndarray,
                             src_mask: jnp.ndarray, depth_start: float,
                             depth_interval: float, n_planes: int,
                             img_size: Tuple[int, int],
-                            plane_size: Tuple[int, int]) -> jnp.ndarray:
+                            plane_size: Tuple[int, int],
+                            mode: str = "gather",
+                            weights_dtype=jnp.float32) -> jnp.ndarray:
     """Variance cost volume for each ref view.
 
     feats: [N, Hf, Wf, C] (quarter-res image features).
     ref_idx: [R] image index of each ref view; src_idx/src_mask: [R, S].
+    mode: "gather" (quad-packed bilinear gathers, exact grid_sample
+    semantics) or "matmul" (two-pass homography resampling on the MXU —
+    `tdvnet.ops.warp`, ~4.3x faster on v5e, O(scanline-slope) sub-pixel
+    deviation from exact bilinear).
     Returns [R, D, h, w, C] fp32 variance volume (NDHWC for the 3D U-Net).
     """
+    if mode == "matmul":
+        from tdvnet.ops import warp
+
+        return warp.plane_sweep_variance_matmul(
+            feats, rotmats, tvecs, K, ref_idx, src_idx, src_mask,
+            depth_start, depth_interval, n_planes, img_size, plane_size,
+            weights_dtype=weights_dtype)
     h, w = plane_size
     pts = camera.plane_sweep_points(depth_start, depth_interval, n_planes,
                                     rotmats[ref_idx], tvecs[ref_idx],
