@@ -11,7 +11,7 @@ compiled graphs.
 """
 from __future__ import annotations
 
-from typing import Dict, Sequence, Tuple
+from typing import Dict, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -317,11 +317,35 @@ class SceneInference:
                           max_anchors=gc.max_anchors)
 
     # --- streaming driver ---
-    def predict_scene(self, views: Dict) -> np.ndarray:
+    @staticmethod
+    def _sync(x):
+        """Force real completion of a device array (the tunnel's
+        block_until_ready returns early; fetching bytes does not)."""
+        np.asarray(jax.device_get(x.ravel()[:1]))
+        return x
+
+    def predict_scene(self, views: Dict,
+                      timings: Optional[Dict] = None) -> np.ndarray:
         """views: whole-scene dict from `Dataset.load_views` (numpy).
 
         Returns depth maps [R, H, W] (image resolution) for all ref views.
+        timings: optional dict — filled with per-stage wall seconds (each
+        stage force-synced, so the breakdown is honest but the total is
+        slightly worse than the free-running pipeline).
         """
+        import time as _time
+
+        t_mark = [_time.perf_counter()]
+
+        def mark(name, sync_val=None):
+            if timings is None:
+                return
+            if sync_val is not None:
+                self._sync(sync_val)
+            now = _time.perf_counter()
+            timings[name] = timings.get(name, 0.0) + now - t_mark[0]
+            t_mark[0] = now
+
         cfg, e = self.cfg, self.cfg.eval
         k = e.n_src_on_either_side
         n_imgs = views["images"].shape[0]
@@ -331,6 +355,7 @@ class SceneInference:
 
         # one normalized image stack on device for stages A and E
         imgs_dev = self._device_images(views)
+        mark("upload_norm", imgs_dev)
 
         # Stage A: features for all images, chunked
         CH = 32
@@ -345,6 +370,7 @@ class SceneInference:
             quarters.append(fq if not pad else fq[:-pad])
         feats_half = jnp.concatenate(halves, axis=0)
         feats_quarter = jnp.concatenate(quarters, axis=0)
+        mark("A_features", feats_quarter)
 
         # Stage B: initial depth, chunked over refs
         IC = e.init_depth_batch
@@ -359,6 +385,7 @@ class SceneInference:
             d, _ = self._init_depth(self.variables, cb, q)
             depth_chunks.append(d[:n_valid])
         depth_all = jnp.concatenate(depth_chunks, axis=0)       # [R, h, w]
+        mark("B_init_depth", depth_all)
 
         # whole-scene padded batch for the global scene volume
         Rb = _bucket(R)
@@ -374,11 +401,13 @@ class SceneInference:
         # Stage C/D: refinement iterations
         OC = e.offset_batch
         gc = self._choose_grid(views, np.asarray(depth_all), R)
+        mark("grid_choose")
         stats_acc = {}
         for offsets in self.offsets_list:
             scales, origins, sstats = self._run_scene(d_pad, q_all,
                                                       scene_batch, gc)
             scales = self._pack_scene_scales(scales)
+            mark("C_scene", origins)
             for sk, sv in sstats.items():
                 stats_acc[sk] = stats_acc.get(sk, 0) + int(sv)
             new_chunks = []
@@ -402,6 +431,7 @@ class SceneInference:
             depth_all = jnp.concatenate(new_chunks, axis=0)
             d_pad = jnp.concatenate(
                 [depth_all, jnp.zeros((Rb - R, h, w), jnp.float32)], 0)
+            mark("D_pointflow", depth_all)
 
         self.last_scene_stats = stats_acc
         dropped = stats_acc.get("n_out_of_grid", 0) \
@@ -433,4 +463,6 @@ class SceneInference:
             ridx = jnp.arange(UC, dtype=jnp.int32)
             d = self._upsample(self.variables, dch, half, quarter, imgs, ridx)
             outs.append(np.asarray(d[:n_valid]))
-        return np.concatenate(outs, axis=0)
+        out = np.concatenate(outs, axis=0)
+        mark("E_upsample")
+        return out
