@@ -76,11 +76,18 @@ class CountingJit:
 
 
 def _chunk_batch(views: Dict, r0: int, r1: int, k: int,
-                 chunk_refs: int) -> Tuple[FrameBatch, int]:
+                 chunk_refs: int, device_cams=None,
+                 table_cache: Optional[Dict] = None) -> Tuple[FrameBatch, int]:
     """Build a local FrameBatch for ref slots [r0, r1) of a single scene.
 
     Refs r of the scene use images [r, r+2k]; the chunk's image window is
     [r0, r1 + 2k).  Pads to `chunk_refs` refs.  Returns (batch, n_valid).
+
+    device_cams: optional (rotmats, tvecs, K) already on device — the
+    camera window is then sliced/padded on device instead of re-uploading
+    per chunk (each host->device upload is a ~tens-of-ms tunnel message).
+    table_cache: optional dict caching the small index/mask tables per
+    (r0, n_valid, chunk_refs) on device for the same reason.
     """
     n_valid = r1 - r0
     S = 2 * k + 1
@@ -88,34 +95,55 @@ def _chunk_batch(views: Dict, r0: int, r1: int, k: int,
     i0 = r0
     n_total_imgs = views["rotmats"].shape[0]
 
+    if device_cams is None:
+        device_cams = (views["rotmats"], views["tvecs"], views["K"])
+
     def pad_imgs(a):
         sl = a[i0:i0 + n_imgs_window]
         if sl.shape[0] < n_imgs_window:
-            pad = np.repeat(sl[-1:], n_imgs_window - sl.shape[0], axis=0)
-            sl = np.concatenate([sl, pad], axis=0)
+            if isinstance(sl, np.ndarray):
+                pad = np.repeat(sl[-1:], n_imgs_window - sl.shape[0], axis=0)
+                sl = np.concatenate([sl, pad], axis=0)
+            else:
+                pad = jnp.repeat(sl[-1:], n_imgs_window - sl.shape[0], axis=0)
+                sl = jnp.concatenate([sl, pad], axis=0)
         return jnp.asarray(sl)
 
-    ref_idx = np.arange(chunk_refs, dtype=np.int32) + k
-    src_idx = ref_idx[:, None] + np.arange(-k, k + 1, dtype=np.int32)[None]
-    ref_mask = np.arange(chunk_refs) < n_valid
-    src_global = src_idx + i0 - k
-    src_mask = ref_mask[:, None] & (src_global >= 0) \
-        & (src_global < n_total_imgs)
-    src_idx = np.clip(src_idx, 0, n_imgs_window - 1)
+    key = (r0, n_valid, chunk_refs, k, n_total_imgs)
+    tables = table_cache.get(key) if table_cache is not None else None
+    if tables is None:
+        ref_idx = np.arange(chunk_refs, dtype=np.int32) + k
+        src_idx = ref_idx[:, None] + np.arange(-k, k + 1,
+                                               dtype=np.int32)[None]
+        ref_mask = np.arange(chunk_refs) < n_valid
+        src_global = src_idx + i0 - k
+        src_mask = ref_mask[:, None] & (src_global >= 0) \
+            & (src_global < n_total_imgs)
+        src_idx = np.clip(src_idx, 0, n_imgs_window - 1)
+        tables = (jnp.asarray(ref_idx), jnp.asarray(src_idx),
+                  jnp.asarray(src_mask), jnp.asarray(ref_mask),
+                  jnp.ones((n_imgs_window,), bool),
+                  jnp.zeros((n_imgs_window,), jnp.int32),
+                  jnp.zeros((chunk_refs,), jnp.int32),
+                  jnp.zeros((n_imgs_window, 1, 1, 3), jnp.float32))
+        if table_cache is not None:
+            table_cache[key] = tables
+    (ref_idx, src_idx, src_mask, ref_mask, img_mask, img_scene,
+     ref_scene, img_stub) = tables
 
     return FrameBatch(
-        images=jnp.zeros((n_imgs_window, 1, 1, 3), jnp.float32),
-        rotmats=pad_imgs(views["rotmats"]),
-        tvecs=pad_imgs(views["tvecs"]),
-        K=pad_imgs(views["K"]),
+        images=img_stub,
+        rotmats=pad_imgs(device_cams[0]),
+        tvecs=pad_imgs(device_cams[1]),
+        K=pad_imgs(device_cams[2]),
         depth_gt=None,
-        ref_idx=jnp.asarray(ref_idx),
-        src_idx=jnp.asarray(src_idx),
-        src_mask=jnp.asarray(src_mask),
-        ref_mask=jnp.asarray(ref_mask),
-        img_mask=jnp.ones((n_imgs_window,), bool),
-        img_scene=jnp.zeros((n_imgs_window,), jnp.int32),
-        ref_scene=jnp.zeros((chunk_refs,), jnp.int32),
+        ref_idx=ref_idx,
+        src_idx=src_idx,
+        src_mask=src_mask,
+        ref_mask=ref_mask,
+        img_mask=img_mask,
+        img_scene=img_scene,
+        ref_scene=ref_scene,
         n_scenes=1,
     ), n_valid
 
@@ -156,6 +184,7 @@ class SceneInference:
             lambda u8, scale, mean, std:
             (u8.astype(jnp.float32) / scale - mean) / std)
         self._pack = jax.jit(self._pack_impl)
+        self._tables: Dict = {}          # _chunk_batch device-table cache
         if mesh is not None:
             from tdvnet.models.scene_unet import SceneUNet
 
@@ -353,8 +382,11 @@ class SceneInference:
         assert R >= 1, "scene too short"
         h, w = cfg.model.depth_test.size
 
-        # one normalized image stack on device for stages A and E
+        # one normalized image stack on device for stages A and E;
+        # cameras uploaded once and sliced on device per chunk
         imgs_dev = self._device_images(views)
+        cams_dev = (jnp.asarray(views["rotmats"]),
+                    jnp.asarray(views["tvecs"]), jnp.asarray(views["K"]))
         mark("upload_norm", imgs_dev)
 
         # Stage A: features for all images, chunked
@@ -377,7 +409,8 @@ class SceneInference:
         depth_chunks = []
         for r0 in range(0, R, IC):
             r1 = min(r0 + IC, R)
-            cb, n_valid = _chunk_batch(views, r0, r1, k, IC)
+            cb, n_valid = _chunk_batch(views, r0, r1, k, IC, cams_dev,
+                                       self._tables)
             q = feats_quarter[r0:r0 + IC + 2 * k]
             qpad = IC + 2 * k - q.shape[0]
             if qpad:
@@ -389,7 +422,8 @@ class SceneInference:
 
         # whole-scene padded batch for the global scene volume
         Rb = _bucket(R)
-        scene_batch, _ = _chunk_batch(views, 0, R, k, Rb)
+        scene_batch, _ = _chunk_batch(views, 0, R, k, Rb, cams_dev,
+                                      self._tables)
         Nq = Rb + 2 * k
         q_all = feats_quarter
         if q_all.shape[0] < Nq:
@@ -413,7 +447,8 @@ class SceneInference:
             new_chunks = []
             for r0 in range(0, R, OC):
                 r1 = min(r0 + OC, R)
-                cb, n_valid = _chunk_batch(views, r0, r1, k, OC)
+                cb, n_valid = _chunk_batch(views, r0, r1, k, OC, cams_dev,
+                                           self._tables)
                 q = feats_quarter[r0:r0 + OC + 2 * k]
                 qpad = OC + 2 * k - q.shape[0]
                 if qpad:
