@@ -27,6 +27,9 @@ def main():
                     help="evaluate the flagship from this checkpoint "
                          "instead of GT passthrough")
     ap.add_argument("--eval-grid", type=int, nargs=3, default=(64, 64, 48))
+    ap.add_argument("--seed-base", type=int, default=0,
+                    help="scene seed offset (training caches use seeds "
+                         "0..N-1; pick >=100 for unseen eval scenes)")
     args = ap.parse_args()
 
     from tools.make_synthetic_dataset import make_scene_dir
@@ -37,10 +40,11 @@ def main():
     os.makedirs(data_dir, exist_ok=True)
     scenes = []
     for s in range(args.scenes):
-        d = os.path.join(data_dir, f"synth_{s:04d}")
+        seed = args.seed_base + s
+        d = os.path.join(data_dir, f"synth_{seed:04d}")
         if not os.path.exists(os.path.join(d, "info.json")):
-            make_scene_dir(data_dir, f"synth_{s:04d}", args.views,
-                           tuple(args.hw), s)
+            make_scene_dir(data_dir, f"synth_{seed:04d}", args.views,
+                           tuple(args.hw), seed)
         scenes.append(d)
 
     cfg = load_config({
