@@ -225,7 +225,23 @@ def fit(cfg: Config, train_batches, val_batches: Callable[[], Iterable],
     model, state = create_state(cfg, rng, first_batch, steps_per_epoch)
     start_epoch = 0
     if resume and ckpt_dir is not None:
-        restored = ckpt_lib.restore(ckpt_dir, state)
+        try:
+            restored = ckpt_lib.restore(ckpt_dir, state)
+        except ValueError:
+            # optimizer tree mismatch — e.g. resuming a train-regime
+            # checkpoint into the finetune regime (the reference's
+            # finetune.py loads params only: `mv3d/finetune.py`); warm
+            # start params/batch_stats into the fresh optimizer
+            restored = None
+            pr = ckpt_lib.restore_params(ckpt_dir)
+            if pr is not None:
+                raw, ep = pr
+                state = state.replace(
+                    params=raw["params"],
+                    batch_stats=raw.get("batch_stats", state.batch_stats))
+                start_epoch = ep
+                print(f"[fit] params-only warm start from epoch {ep} "
+                      "(optimizer state reinitialized)", flush=True)
         if restored is not None:
             state, start_epoch = restored
 
