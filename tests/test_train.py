@@ -96,6 +96,36 @@ def test_checkpoint_roundtrip(setup, tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_npz_weights_roundtrip(setup, tmp_path):
+    """export_npz/load_npz keep the tree structure and fp16-round floats;
+    restore_params accepts the .npz path directly."""
+    from tdvnet.train import checkpoints as C
+
+    cfg, fb, model, state = setup
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    path = str(tmp_path / "w" / "weights.npz")
+    C.export_npz(path, variables, epoch=7)
+    restored, ep = C.restore_params(path)
+    assert ep == 7
+
+    flat_o = C._flatten(variables)
+    flat_r = C._flatten({k: restored[k] for k in ("params", "batch_stats")})
+    assert set(flat_o) == set(flat_r)
+    for k in flat_o:
+        a = np.asarray(flat_o[k], np.float32)
+        b = np.asarray(flat_r[k], np.float32)
+        assert b.dtype == np.float32 or not np.issubdtype(b.dtype, np.floating)
+        np.testing.assert_allclose(a, b, rtol=1e-3, atol=1e-3)
+
+    # fp16 rounding must not perturb the forward beyond noise
+    out_o = model.apply(variables, fb, offsets=[0.05], n_iters=1, lam=0.0,
+                        train=False, with_metrics=False)["depth_pred"]
+    out_r = model.apply(restored, fb, offsets=[0.05], n_iters=1, lam=0.0,
+                        train=False, with_metrics=False)["depth_pred"]
+    np.testing.assert_allclose(np.asarray(out_o), np.asarray(out_r),
+                               rtol=0.05, atol=0.05)
+
+
 def test_remat_step_matches_exact(setup):
     """jax.checkpoint must not change numerics — only memory/flops."""
     import dataclasses
