@@ -8,9 +8,10 @@ the reference: `mv3d/subnetworks/mvsnet.py:209`, `mv3d/lightningmodel.py:165,225
 Semantics match grid_sample(mode='bilinear', padding_mode='zeros',
 align_corners=True): queries are in *pixel/cell* coordinates here (callers
 never round-trip through [-1, 1]); out-of-bounds corner taps contribute zero.
-Implemented as 4/8 clipped gathers with masked weights — XLA lowers these to
-efficient dynamic-gathers on TPU; the fused cost-volume Pallas kernel replaces
-the hot path.
+Implemented as 4/8 clipped gathers with masked weights; the packed variants
+below fetch a full interpolation stencil per gather row (TPU gather cost is
+per row).  The hottest warp (plane-sweep cost volume) bypasses gathers
+entirely via the two-pass homography matmul in `tdvnet.ops.warp`.
 """
 from __future__ import annotations
 
