@@ -247,6 +247,9 @@ class PairNet(nn.Module):
         """images [N,H,W,3]; tables as in FrameBatch.  Returns depth pyramid
         (full..1/16) for the R ref views."""
         half, quarter, eighth, sixteenth = self.features(images, train)
+        # K*0.5 for half-res matches the reference's own approximation
+        # (dvmvs utils pose/K scaling); the exact half-res principal point
+        # would be (c+0.5)*0.5-0.5, a -0.25 px offset kept for parity.
         K_half = K.at[:, 0:2, :].multiply(0.5)
         cost = jax.vmap(
             lambda r, s, m: dot_cost_volume(
