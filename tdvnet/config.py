@@ -155,6 +155,9 @@ class EvalConfig:
     init_depth_batch: int = 18
     offset_batch: int = 16
     upsample_batch: int = 100
+    # fused driver (FusedSceneInference): one ref-chunk size for every
+    # stage; ref totals bucket to multiples of it (on-device lax.scan)
+    fused_chunk: int = 16
     eval_grid_size: Tuple[int, int, int] = (160, 160, 64)
     eval_max_anchors: int = 262144
     # auto-size the scene grid to the scene bbox (rounded up to

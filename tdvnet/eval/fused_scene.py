@@ -1,0 +1,384 @@
+"""Fused whole-scene inference: the entire eval graph in two dispatches.
+
+Round-2 profiling showed the chunked driver (`tdvnet.eval.whole_scene`)
+spends ~60% of scene wall time on host work and per-chunk tunnel dispatch
+(~37 ms/roundtrip x ~20 dispatches + dozens of small jnp host ops), not on
+compute.  This driver moves every chunk loop on-device as a `lax.scan`
+(VERDICT r2 "Next round" #1b):
+
+  dispatch 1  _prep    normalize u8 -> features (scanned) -> initial depth
+                       (scanned over ref chunks) -> scene bbox
+  host        fetch bbox (6 floats), choose the static grid size
+  dispatch 2  _refine  n_iters x (scene volume + pointflow scan) ->
+                       upsample scan -> full-res depth
+
+Chunk semantics are identical to the reference streaming loop
+(`mv3d/eval-3dvnet.py:26-129`): refs are independent inside a refinement
+iteration, the scene volume is global per iteration.  Chunk-edge masks are
+computed on device from the scalar ref count, so one compiled graph serves
+every scene length within a ref bucket (multiples of `chunk`).
+
+Transfers use the jit-argument path (the axon tunnel moves jit args at
+~20-35 MB/s vs ~1-4 MB/s for device_put) and the result can be fetched as
+uint16 millimeters (bounded +-0.5 mm quantization, far below the 1 cm
+fusion z-threshold / 5 cm F-score tau — `mv3d/eval/config.py:26-29`) to
+halve the download.
+"""
+from __future__ import annotations
+
+import time
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tdvnet.config import Config, GridConfig
+from tdvnet.data.batch import FrameBatch
+from tdvnet.models.threedvnet import ThreeDVNet
+
+
+def _flops_of(lowered) -> float:
+    ca = lowered.compile().cost_analysis()
+    if isinstance(ca, list):
+        ca = ca[0]
+    return float(ca.get("flops", 0.0) or 0.0)
+
+
+class FusedSceneInference:
+    """Whole-scene depth prediction in two device dispatches.
+
+    Single-chip fast path.  For mesh-sharded scene volumes (scenes larger
+    than one chip's HBM) use `SceneInference(mesh=...)`, which keeps the
+    chunk loops on host but runs the U-Net spatially sharded.
+    """
+
+    def __init__(self, model: ThreeDVNet, variables, cfg: Config,
+                 offsets_list: Sequence[Sequence[float]] = ((0.05, 0.05, 0.025),
+                                                           (0.05, 0.05, 0.025)),
+                 count_flops: bool = False, fetch_mm: bool = True):
+        self.model = model
+        self.variables = variables
+        self.cfg = cfg
+        self.offsets_list = tuple(tuple(float(o) for o in off)
+                                  for off in offsets_list)
+        self.fetch_mm = fetch_mm
+        self.count_flops = count_flops
+        self.flops = 0.0           # accumulated executed FLOPs (count mode)
+        self._flop_cache: Dict = {}
+        e = cfg.eval
+        self.chunk = e.fused_chunk
+        self.grid_cfg = GridConfig(
+            edge_len=cfg.model.grid.edge_len, grid_size=e.eval_grid_size,
+            max_anchors=e.eval_max_anchors)
+        self._prep = jax.jit(self._prep_impl,
+                             static_argnames=("u8", "n_chunks"))
+        self._refine = jax.jit(self._refine_impl,
+                               static_argnames=("grid_cfg", "n_chunks"))
+        self.last_scene_stats: Dict = {}
+
+    # ------------------------------------------------------------- helpers
+    def _count(self, jitfn, kwargs, statics: Tuple):
+        """Accumulate compiled-graph FLOPs once per static signature."""
+        if not self.count_flops:
+            return
+        key = (id(jitfn), statics,
+               tuple((k, v.shape, str(v.dtype)) for k, v in
+                     sorted(kwargs.items()) if hasattr(v, "shape")))
+        fl = self._flop_cache.get(key)
+        if fl is None:
+            fl = _flops_of(jitfn.lower(**kwargs))
+            self._flop_cache[key] = fl
+        self.flops += fl
+
+    def reset_flops(self):
+        self.flops = 0.0
+
+    def _chunk_tables(self):
+        """Static per-chunk index tables (local to a chunk window)."""
+        CH, k = self.chunk, self.cfg.eval.n_src_on_either_side
+        ref_idx = jnp.arange(CH, dtype=jnp.int32) + k
+        off = jnp.arange(-k, k + 1, dtype=jnp.int32)
+        src_idx = jnp.clip(ref_idx[:, None] + off[None], 0, CH + 2 * k - 1)
+        return ref_idx, src_idx
+
+    def _chunk_masks(self, r0, n_refs, n_imgs_valid):
+        """Ref/src validity for the chunk starting at global ref r0."""
+        CH, k = self.chunk, self.cfg.eval.n_src_on_either_side
+        rg = r0 + jnp.arange(CH, dtype=jnp.int32)
+        ref_mask = rg < n_refs
+        off = jnp.arange(-k, k + 1, dtype=jnp.int32)
+        src_global = rg[:, None] + k + off[None]          # global img idx
+        src_mask = ref_mask[:, None] & (src_global >= 0) \
+            & (src_global < n_imgs_valid)
+        return ref_mask, src_mask
+
+    def _chunk_frame_batch(self, cams, r0, n_refs, n_imgs_valid):
+        """FrameBatch for ref slots [r0, r0+chunk) built inside the jit."""
+        CH, k = self.chunk, self.cfg.eval.n_src_on_either_side
+        W = CH + 2 * k
+        rot, tv, Ks = cams
+        ref_idx, src_idx = self._chunk_tables()
+        ref_mask, src_mask = self._chunk_masks(r0, n_refs, n_imgs_valid)
+        sl = lambda a: jax.lax.dynamic_slice_in_dim(a, r0, W, axis=0)
+        return FrameBatch(
+            images=jnp.zeros((W, 1, 1, 3), jnp.float32),
+            rotmats=sl(rot), tvecs=sl(tv), K=sl(Ks), depth_gt=None,
+            ref_idx=ref_idx, src_idx=src_idx, src_mask=src_mask,
+            ref_mask=ref_mask, img_mask=jnp.ones((W,), bool),
+            img_scene=jnp.zeros((W,), jnp.int32),
+            ref_scene=jnp.zeros((CH,), jnp.int32), n_scenes=1)
+
+    def _scene_frame_batch(self, cams, Rb, n_refs, n_imgs_valid):
+        """Whole-scene FrameBatch (Rb ref slots)."""
+        k = self.cfg.eval.n_src_on_either_side
+        rot, tv, Ks = cams
+        Nb = Rb + 2 * k
+        ref_idx = jnp.arange(Rb, dtype=jnp.int32) + k
+        off = jnp.arange(-k, k + 1, dtype=jnp.int32)
+        src_idx = jnp.clip(ref_idx[:, None] + off[None], 0, Nb - 1)
+        rg = jnp.arange(Rb, dtype=jnp.int32)
+        ref_mask = rg < n_refs
+        src_global = rg[:, None] + k + off[None]
+        src_mask = ref_mask[:, None] & (src_global >= 0) \
+            & (src_global < n_imgs_valid)
+        return FrameBatch(
+            images=jnp.zeros((Nb, 1, 1, 3), jnp.float32),
+            rotmats=rot, tvecs=tv, K=Ks, depth_gt=None,
+            ref_idx=ref_idx, src_idx=src_idx, src_mask=src_mask,
+            ref_mask=ref_mask, img_mask=jnp.ones((Nb,), bool),
+            img_scene=jnp.zeros((Nb,), jnp.int32),
+            ref_scene=jnp.zeros((Rb,), jnp.int32), n_scenes=1)
+
+    # -------------------------------------------------------- dispatch 1
+    def _prep_impl(self, variables, images, rgb_scale, rgb_mean, rgb_std,
+                   rot, tv, Ks, n_refs, u8: bool, n_chunks: int):
+        """u8 stack -> features -> initial depth -> scene bbox."""
+        cfg = self.cfg
+        k = cfg.eval.n_src_on_either_side
+        CH = self.chunk
+        dc = cfg.model.depth_test
+        h, w = dc.size
+        Nb = images.shape[0]
+
+        if u8:
+            imgs = (images.astype(jnp.float32) / rgb_scale
+                    - rgb_mean) / rgb_std
+        else:
+            imgs = images
+
+        # features, scanned in image chunks of FC (memory, not dispatch)
+        FC = 32
+        pad = (-Nb) % FC
+        imgs_p = jnp.concatenate(
+            [imgs, jnp.repeat(imgs[-1:], pad, axis=0)], 0) if pad else imgs
+
+        def feat_of(chunk_imgs):
+            return self.model.apply(variables, chunk_imgs, False,
+                                    method="extract_features")[:2]
+        fh, fq = jax.lax.map(feat_of,
+                             imgs_p.reshape(-1, FC, *imgs_p.shape[1:]))
+        feats_half = fh.reshape(-1, *fh.shape[2:])[:Nb]
+        feats_quarter = fq.reshape(-1, *fq.shape[2:])[:Nb]
+
+        # initial depth, scanned over ref chunks
+        cams = (rot, tv, Ks)
+        n_imgs_valid = n_refs + 2 * k
+
+        def init_body(_, i):
+            r0 = i * CH
+            cb = self._chunk_frame_batch(cams, r0, n_refs, n_imgs_valid)
+            q = jax.lax.dynamic_slice_in_dim(feats_quarter, r0, CH + 2 * k,
+                                             axis=0)
+            d, _ = self.model.apply(variables, cb, dc, q, False,
+                                    method="initial_depth")
+            return None, d
+        _, d_chunks = jax.lax.scan(init_body, None,
+                                   jnp.arange(n_chunks, dtype=jnp.int32))
+        depth_all = d_chunks.reshape(n_chunks * CH, h, w)
+
+        # scene bbox from back-projected depths (valid refs only)
+        from tdvnet.ops import camera as cam_ops
+
+        Rb = depth_all.shape[0]
+        ridx = jnp.arange(Rb, dtype=jnp.int32) + k
+        pts = cam_ops.backproject_grid(depth_all, Ks[ridx], rot[ridx],
+                                       tv[ridx], cfg.model.img_size)
+        valid = ((jnp.arange(Rb) < n_refs)[:, None]
+                 & (depth_all.reshape(Rb, -1) > 0))[..., None]
+        big = jnp.float32(1e9)
+        lo = jnp.min(jnp.where(valid, pts, big), axis=(0, 1))
+        hi = jnp.max(jnp.where(valid, pts, -big), axis=(0, 1))
+        bbox = jnp.stack([lo, hi])
+        return imgs, feats_half, feats_quarter, depth_all, bbox
+
+    # -------------------------------------------------------- dispatch 2
+    def _refine_impl(self, variables, imgs, feats_half, feats_quarter,
+                     rot, tv, Ks, depth_all, n_refs,
+                     grid_cfg: GridConfig, n_chunks: int):
+        from tdvnet.models.hypothesis import pack_scales
+
+        cfg = self.cfg
+        k = cfg.eval.n_src_on_either_side
+        CH = self.chunk
+        Rb = depth_all.shape[0]
+        cams = (rot, tv, Ks)
+        n_imgs_valid = n_refs + 2 * k
+        sb = self._scene_frame_batch(cams, Rb, n_refs, n_imgs_valid)
+        stats_acc = {}
+
+        for offsets in self.offsets_list:
+            d_pad = jnp.where(sb.ref_mask[:, None, None], depth_all, 0.0)
+            scales, origins, sstats = self.model.apply(
+                variables, d_pad, feats_quarter, sb, grid_cfg, False,
+                method="model_scene")
+            for sk, sv in sstats.items():
+                stats_acc[sk] = stats_acc.get(sk, 0) + sv
+            octs = pack_scales([sc["grid"] for sc in scales])
+            scales = [dict(sc, octs=o, dims=tuple(sc["grid"].shape[1:4]))
+                      for sc, o in zip(scales, octs)]
+
+            def pf_body(_, i, scales=scales, origins=origins,
+                        offsets=offsets):
+                r0 = i * CH
+                cb = self._chunk_frame_batch(cams, r0, n_refs, n_imgs_valid)
+                q = jax.lax.dynamic_slice_in_dim(feats_quarter, r0,
+                                                 CH + 2 * k, axis=0)
+                dch = jax.lax.dynamic_slice_in_dim(depth_all, r0, CH, axis=0)
+                dnew = self.model.apply(variables, scales, origins, dch, q,
+                                        cb, offsets, 3, grid_cfg, False,
+                                        method="run_pointflow_multi")
+                return None, dnew
+            _, d_chunks = jax.lax.scan(pf_body, None,
+                                       jnp.arange(n_chunks, dtype=jnp.int32))
+            depth_all = d_chunks.reshape(Rb, *depth_all.shape[1:])
+
+        # upsample, scanned (ref r uses image r + k; windows contiguous)
+        def up_body(_, i):
+            r0 = i * CH
+            dch = jax.lax.dynamic_slice_in_dim(depth_all, r0, CH, axis=0)
+            im = jax.lax.dynamic_slice_in_dim(imgs, r0 + k, CH, axis=0)
+            fh = jax.lax.dynamic_slice_in_dim(feats_half, r0 + k, CH, axis=0)
+            fq = jax.lax.dynamic_slice_in_dim(feats_quarter, r0 + k, CH,
+                                              axis=0)
+            ridx = jnp.arange(CH, dtype=jnp.int32)
+            d = self.model.apply(variables, dch, fh, fq, im, ridx, False,
+                                 method="upsample")
+            return None, d
+        _, out_chunks = jax.lax.scan(up_body, None,
+                                     jnp.arange(n_chunks, dtype=jnp.int32))
+        out = out_chunks.reshape(Rb, *out_chunks.shape[2:])
+        if self.fetch_mm:
+            out = jnp.round(jnp.clip(out, 0.0, 65.535) * 1000.0) \
+                .astype(jnp.uint16)
+        return out, stats_acc
+
+    # ------------------------------------------------------------- driver
+    def _grid_from_extent(self, extent: np.ndarray) -> GridConfig:
+        """Static grid dims for this scene (same policy as
+        `SceneInference._choose_grid`, from a device-computed bbox)."""
+        e = self.cfg.eval
+        gc = self.grid_cfg
+        if not e.auto_grid or not np.isfinite(extent).all() \
+                or (extent <= 0).any():
+            return gc
+        b = e.grid_bucket
+        need = np.ceil(extent / gc.edge_len).astype(int) + 2
+        buckets = np.array([b, b, b])
+        dims = -(-need // buckets) * buckets
+        cap = np.array(gc.grid_size) // buckets * buckets
+        capped = np.minimum(dims, np.maximum(cap, buckets))
+        if (dims > np.array(gc.grid_size)).any():
+            import warnings
+
+            warnings.warn(
+                f"scene bbox needs grid {tuple(dims)} voxels but "
+                f"eval_grid_size caps it at {gc.grid_size}; geometry "
+                f"outside will be dropped (see scene_stats counters)")
+        return GridConfig(edge_len=gc.edge_len,
+                          grid_size=tuple(int(x) for x in capped),
+                          max_anchors=gc.max_anchors)
+
+    def predict_scene(self, views: Dict,
+                      timings: Optional[Dict] = None) -> np.ndarray:
+        """views: whole-scene dict (numpy) from `Dataset.load_views`.
+
+        Returns [R, H, W] float32 depth at image resolution.
+        """
+        def mark(name, t0):
+            now = time.perf_counter()
+            if timings is not None:
+                timings[name] = timings.get(name, 0.0) + now - t0
+            return now
+
+        cfg, e = self.cfg, self.cfg.eval
+        k = e.n_src_on_either_side
+        n_imgs = (views["images_u8"] if "images_u8" in views
+                  else views["images"]).shape[0]
+        R = n_imgs - 2 * k
+        assert R >= 1, "scene too short"
+        CH = self.chunk
+        n_chunks = -(-R // CH)
+        Rb = n_chunks * CH
+        Nb = Rb + 2 * k
+
+        u8 = "images_u8" in views
+        images = views["images_u8"] if u8 else views["images"]
+        pad = Nb - n_imgs
+
+        def pad_imgs(a):
+            a = np.asarray(a)
+            if pad:
+                a = np.concatenate([a, np.repeat(a[-1:], pad, axis=0)], 0)
+            return a
+
+        images = pad_imgs(images)
+        rot = pad_imgs(views["rotmats"]).astype(np.float32)
+        tv = pad_imgs(views["tvecs"]).astype(np.float32)
+        Ks = pad_imgs(views["K"]).astype(np.float32)
+        if u8:
+            rgb_scale = np.float32(views.get("rgb_scale", 255.0))
+            rgb_mean = np.asarray(views["rgb_mean"], np.float32)
+            rgb_std = np.asarray(views["rgb_std"], np.float32)
+        else:
+            rgb_scale = np.float32(1.0)
+            rgb_mean = np.zeros((3,), np.float32)
+            rgb_std = np.ones((3,), np.float32)
+
+        t0 = time.perf_counter()
+        prep_kwargs = dict(variables=self.variables, images=images,
+                           rgb_scale=rgb_scale, rgb_mean=rgb_mean,
+                           rgb_std=rgb_std, rot=rot, tv=tv, Ks=Ks,
+                           n_refs=np.int32(R), u8=u8, n_chunks=n_chunks)
+        imgs_d, fh, fq, depth_all, bbox = self._prep(**prep_kwargs)
+        self._count(self._prep, prep_kwargs, (u8, n_chunks))
+        bbox_np = np.asarray(bbox)                    # small fetch (sync)
+        t0 = mark("prep", t0)
+
+        gc = self._grid_from_extent(bbox_np[1] - bbox_np[0])
+        ref_kwargs = dict(variables=self.variables, imgs=imgs_d,
+                          feats_half=fh, feats_quarter=fq, rot=rot, tv=tv,
+                          Ks=Ks, depth_all=depth_all, n_refs=np.int32(R),
+                          grid_cfg=gc, n_chunks=n_chunks)
+        out, stats = self._refine(**ref_kwargs)
+        self._count(self._refine, ref_kwargs, (gc, n_chunks))
+        out_np = np.asarray(out)[:R]
+        stats_np = {sk: int(sv) for sk, sv in stats.items()}
+        mark("refine", t0)
+
+        self.last_scene_stats = stats_np
+        dropped = stats_np.get("n_out_of_grid", 0) \
+            + stats_np.get("n_overflow", 0)
+        if dropped:
+            import warnings
+
+            warnings.warn(
+                f"scene volume dropped {dropped} points "
+                f"(out_of_grid={stats_np.get('n_out_of_grid', 0)}, "
+                f"anchor_overflow={stats_np.get('n_overflow', 0)} of "
+                f"{stats_np.get('n_points', 0)} valid) — enlarge "
+                f"eval_grid_size / eval_max_anchors")
+
+        if self.fetch_mm:
+            return out_np.astype(np.float32) * 1e-3
+        return out_np

@@ -1,0 +1,91 @@
+"""FusedSceneInference (two-dispatch on-device driver) must reproduce the
+chunked SceneInference streaming path — same submodules, same chunk
+semantics, different dispatch structure."""
+import dataclasses
+
+import jax
+import numpy as np
+import pytest
+
+from tdvnet.config import tiny_test_config
+from tdvnet.data import synthetic
+
+
+def _setup(chunk=4, n_views=11):
+    from tdvnet.models.threedvnet import ThreeDVNet
+    from tdvnet.data import batch as B
+
+    cfg = tiny_test_config()
+    cfg = dataclasses.replace(cfg, eval=dataclasses.replace(
+        cfg.eval, init_depth_batch=chunk, offset_batch=chunk,
+        upsample_batch=chunk, fused_chunk=chunk, n_src_on_either_side=1,
+        eval_grid_size=(16, 16, 16), eval_max_anchors=2048, grid_bucket=8))
+    bc = cfg.batch
+    model = ThreeDVNet(cfg.model)
+    fb = B.collate_scenes(
+        [synthetic.make_batch_scene(bc.n_views, bc.img_size,
+                                    bc.depth_img_size, seed=0)],
+        bc.n_views, bc.n_ref, bc.n_src_on_either_side)
+    variables = model.init(jax.random.PRNGKey(0), fb, offsets=[0.05],
+                           n_iters=1, lam=0.0, train=False)
+    views = synthetic.make_scene(n_views=n_views, img_size=bc.img_size,
+                                 seed=2)
+    return model, variables, cfg, views
+
+
+@pytest.mark.slow
+def test_fused_matches_chunked():
+    from tdvnet.eval.whole_scene import SceneInference
+    from tdvnet.eval.fused_scene import FusedSceneInference
+
+    model, variables, cfg, views = _setup()
+    offs = [[0.05, 0.025]]
+    ref = SceneInference(model, variables, cfg, offsets_list=offs)
+    d_ref = ref.predict_scene(views)
+
+    fused = FusedSceneInference(model, variables, cfg, offsets_list=offs,
+                                fetch_mm=False)
+    d_fused = fused.predict_scene(views)
+
+    assert d_fused.shape == d_ref.shape
+    assert np.isfinite(d_fused).all()
+    # same math modulo op reordering inside scans
+    np.testing.assert_allclose(d_fused, d_ref, rtol=0, atol=2e-3)
+
+
+@pytest.mark.slow
+def test_fused_mm_fetch_quantization():
+    from tdvnet.eval.fused_scene import FusedSceneInference
+
+    model, variables, cfg, views = _setup(n_views=6)
+    offs = [[0.05]]
+    f32 = FusedSceneInference(model, variables, cfg, offsets_list=offs,
+                              fetch_mm=False)
+    mm = FusedSceneInference(model, variables, cfg, offsets_list=offs,
+                             fetch_mm=True)
+    d32 = f32.predict_scene(views)
+    dmm = mm.predict_scene(views)
+    # uint16-millimeter fetch is bounded +-0.5 mm
+    assert np.abs(d32 - dmm).max() <= 5.1e-4
+
+
+@pytest.mark.slow
+def test_fused_ragged_ref_count():
+    """Scene whose ref count doesn't divide the chunk: masks must keep the
+    padded slots from contaminating real outputs (compare against a fused
+    run at chunk == R where no padding exists)."""
+    from tdvnet.eval.fused_scene import FusedSceneInference
+
+    model, variables, cfg, views = _setup(chunk=4, n_views=9)  # R=7, pad 1
+    offs = [[0.05]]
+    a = FusedSceneInference(model, variables, cfg, offsets_list=offs,
+                            fetch_mm=False)
+    d_a = a.predict_scene(views)
+
+    cfg7 = dataclasses.replace(cfg, eval=dataclasses.replace(
+        cfg.eval, fused_chunk=7))
+    b = FusedSceneInference(model, variables, cfg7, offsets_list=offs,
+                            fetch_mm=False)
+    d_b = b.predict_scene(views)
+    assert d_a.shape == d_b.shape == (7, *cfg.batch.img_size)
+    np.testing.assert_allclose(d_a, d_b, rtol=0, atol=2e-3)
