@@ -70,6 +70,23 @@ def test_fused_mm_fetch_quantization():
 
 
 @pytest.mark.slow
+def test_fused_pipelined_matches_sync():
+    from tdvnet.eval.fused_scene import FusedSceneInference
+
+    model, variables, cfg, _ = _setup(n_views=6)
+    offs = [[0.05]]
+    inf = FusedSceneInference(model, variables, cfg, offsets_list=offs,
+                              fetch_mm=False)
+    scenes = [synthetic.make_scene(n_views=6, img_size=cfg.batch.img_size,
+                                   seed=s) for s in (2, 3, 4)]
+    sync = [inf.predict_scene(v) for v in scenes]
+    piped = list(inf.predict_scenes(scenes))
+    assert len(piped) == len(sync)
+    for a, b in zip(piped, sync):
+        np.testing.assert_allclose(a, b, rtol=0, atol=1e-6)
+
+
+@pytest.mark.slow
 def test_fused_ragged_ref_count():
     """Scene whose ref count doesn't divide the chunk: masks must keep the
     padded slots from contaminating real outputs (compare against a fused

@@ -64,6 +64,17 @@ def main():
         print(f"fused scene {i}: {t:.3f}s  ({R/t:.1f} f/s)  "
               + "  ".join(f"{k}={x:.3f}" for k, x in tm.items()), flush=True)
 
+    # pipelined: transfers hidden under compute (steady state)
+    t0 = time.perf_counter()
+    n_out = 0
+    for i, d in enumerate(fused.predict_scenes(views)):
+        t = time.perf_counter() - t0
+        print(f"piped scene {i}: cum {t:.3f}s", flush=True)
+        n_out += 1
+    t = time.perf_counter() - t0
+    print(f"pipelined: {t/n_out:.3f}s/scene  ({n_out*R/t:.1f} f/s)",
+          flush=True)
+
     if not args.skip_chunked:
         from tdvnet.eval.whole_scene import SceneInference
 
