@@ -24,8 +24,12 @@ class ConvBnRelu(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        # torch pads k//2 on BOTH sides even at stride 2; XLA "SAME" pads
+        # (0, 1) there on even inputs — explicit padding keeps converted
+        # reference weights alignment-exact (identical to SAME at stride 1)
+        pad = tuple((k // 2, k // 2) for k in self.kernel_size)
         x = nn.Conv(self.features, self.kernel_size, self.strides,
-                    padding="SAME", use_bias=False, dtype=self.dtype)(x)
+                    padding=pad, use_bias=False, dtype=self.dtype)(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                          epsilon=1e-5, dtype=jnp.float32)(x)
         return nn.relu(x)
