@@ -94,6 +94,9 @@ class FusedSceneInference:
     def reset_flops(self):
         self.flops = 0.0
 
+    def flops_executed(self) -> float:
+        return self.flops
+
     def _chunk_tables(self):
         """Static per-chunk index tables (local to a chunk window)."""
         CH, k = self.chunk, self.cfg.eval.n_src_on_either_side
@@ -216,7 +219,8 @@ class FusedSceneInference:
     def _refine_impl(self, variables, imgs, feats_half, feats_quarter,
                      rot, tv, Ks, depth_all, n_refs,
                      grid_cfg: GridConfig, n_chunks: int):
-        from tdvnet.models.hypothesis import pack_scales
+        from tdvnet.models.hypothesis import (_COMBINE_BUDGET_BYTES,
+                                              combine_scales, pack_scales)
 
         cfg = self.cfg
         k = cfg.eval.n_src_on_either_side
@@ -234,7 +238,11 @@ class FusedSceneInference:
                 method="model_scene")
             for sk, sv in sstats.items():
                 stats_acc[sk] = stats_acc.get(sk, 0) + sv
-            octs = pack_scales([sc["grid"] for sc in scales])
+            # merge nested scale lattices into one fine grid (exact):
+            # 1 wide-row gather per query instead of 3 (+3 epilogues)
+            scales = combine_scales(scales)
+            octs = pack_scales([sc["grid"] for sc in scales],
+                               budget=_COMBINE_BUDGET_BYTES)
             scales = [dict(sc, octs=o, dims=tuple(sc["grid"].shape[1:4]))
                       for sc, o in zip(scales, octs)]
 

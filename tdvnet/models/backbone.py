@@ -29,7 +29,7 @@ class _MBConv(nn.Module):
         in_ch = x.shape[-1]
         mid = in_ch * self.expansion
         bn = lambda: nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                                  epsilon=1e-5, dtype=jnp.float32)
+                                  epsilon=1e-5, dtype=self.dtype)
         y = nn.Conv(mid, (1, 1), use_bias=False, dtype=self.dtype)(x)
         y = nn.relu(bn()(y))
         # torch pads k//2 on BOTH sides even for stride 2 (XLA "SAME" pads
@@ -80,7 +80,7 @@ class MnasMulti(nn.Module):
     def __call__(self, x, train: bool = False):
         d = self.dtype
         bn = lambda: nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                                  epsilon=1e-5, dtype=jnp.float32)
+                                  epsilon=1e-5, dtype=self.dtype)
         # stem: conv s2 → depthwise → project to 16 (explicit (1, 1)
         # padding = torch alignment; see _MBConv)
         y = nn.Conv(32, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)),

@@ -19,7 +19,8 @@ from flax import linen as nn
 
 from tdvnet.ops.sampling import (pack_trilinear_octs,
                                  trilinear_sample_batched,
-                                 trilinear_sample_octs_batched)
+                                 trilinear_sample_octs_batched,
+                                 upsample_linear_zeropad)
 
 # oct-packed tables cost 8x the grid's memory; above this budget fall back
 # to the 8-tap sampler.  1.75 GB admits the finest scale of auto-sized eval
@@ -27,8 +28,79 @@ from tdvnet.ops.sampling import (pack_trilinear_octs,
 # ones by ~8x on TPU (gather cost is per row).
 _PACK_BUDGET_BYTES = 1792 * 1024 * 1024
 
+# scale-combining budget (eval fast path, see combine_scales): the combined
+# fine-lattice table costs 8 * sum(C) * prod(dims+1) bytes; 3.5 GB admits
+# the 48-keyframe bench scene's 112x112x48 auto grid at 320 channels.
+_COMBINE_BUDGET_BYTES = 3584 * 1024 * 1024
 
-def pack_scales(grids):
+
+def combine_scales(scales):
+    """Merge U-Net scales into the fewest fine-lattice grids the pack
+    budget allows (eval fast path).
+
+    The scale lattices are NESTED (stride-s node i sits at world position
+    center0 + s*i*edge, so it is fine node s*i), and trilinear interpolation
+    of a multilinear field restricted to a sub-cell is exact — so sampling a
+    coarse scale equals sampling its linearly-upsampled image on the fine
+    lattice (`upsample_linear_zeropad`), including the zero-padding region.
+    Combining turns 3 gathers + 3 epilogues per query into 1 wide-row
+    gather: XLA's TPU gather cost is dominated by a ~11 ns/row term
+    (tools/bench_gather_variants.py), so fewer, wider rows win.
+
+    scales: coarsest-first [{"grid": [B,x,y,z,C], "stride": s}, ...].
+    Returns a coarsest-first list with the same sampling semantics; entry
+    channel order within a combined grid is finest-scale-first, so
+    `sample_scales`' fine-first output concat order is preserved.
+    """
+    if len(scales) <= 1:
+        return scales
+    by_fine = sorted(scales, key=lambda sc: sc["stride"])  # finest first
+    itemsize = by_fine[0]["grid"].dtype.itemsize
+    for ti, tgt in enumerate(by_fine):
+        ts = tgt["stride"]
+        B, X, Y, Z, _ = tgt["grid"].shape
+        n_ch = sum(sc["grid"].shape[-1] for sc in by_fine[ti:])
+        pn = by_fine[-1]["stride"] // ts - 1
+        packed = (B * (X + pn + 1) * (Y + pn + 1) * (Z + pn + 1) * 8 * n_ch
+                  * itemsize)
+        if packed > _COMBINE_BUDGET_BYTES:
+            continue
+        # exactness needs the coarse coverage (incl. its zero-pad ramp) to
+        # end exactly at the fine grid's: dim_s * (s/ts) == dim_ts per axis.
+        # True for bucket-rounded eval grids (multiples of 16); guard the
+        # general case by falling through to the unfused path.
+        if any(d * (sc["stride"] // ts) != D
+               for sc in by_fine[ti + 1:]
+               for d, D in zip(sc["grid"].shape[1:4], (X, Y, Z))):
+            continue
+        # a stride-s scale's zero-pad ramp spans s fine cells on the LOW
+        # side of the volume (on the high side coverage ends exactly at
+        # dim*s == D by the guard above, where the fine ramp coincides).
+        # Extend the combined lattice by PAD = r_max - 1 low-side nodes
+        # carrying the true ramp values so out-of-volume queries stay exact.
+        pad_n = by_fine[-1]["stride"] // ts - 1
+
+        def low_pad(g, n):
+            return jnp.pad(g, ((0, 0), (n, 0), (n, 0), (n, 0), (0, 0))) \
+                if n else g
+
+        parts = [low_pad(tgt["grid"], pad_n)]
+        for sc in by_fine[ti + 1:]:
+            r = sc["stride"] // ts
+            up = upsample_linear_zeropad(low_pad(sc["grid"], 1), r,
+                                         (X + r, Y + r, Z + r))
+            # nodes cover fine [-r, D-1]; align to [-pad_n, D-1]
+            sl = max(r - pad_n, 0)
+            up = up[:, sl:, sl:, sl:]
+            parts.append(low_pad(up, max(pad_n - r, 0)))
+        combined = {"grid": jnp.concatenate(parts, axis=-1), "stride": ts,
+                    "cell_offset": float(pad_n)}
+        # finer-than-target scales stay separate, coarsest-first order
+        return [combined] + by_fine[:ti][::-1]
+    return scales
+
+
+def pack_scales(grids, budget: int = _PACK_BUDGET_BYTES):
     """Oct-pack a list of dense scale grids ([B, X, Y, Z, C] each).
 
     Returns one packed table per scale (None where the table would exceed
@@ -39,7 +111,7 @@ def pack_scales(grids):
         B, X, Y, Z, C = g.shape
         packed_bytes = (B * (X + 1) * (Y + 1) * (Z + 1) * 8 * C
                         * g.dtype.itemsize)
-        if packed_bytes <= _PACK_BUDGET_BYTES:
+        if packed_bytes <= budget:
             out.append(jax.vmap(pack_trilinear_octs)(g))
         else:
             out.append(None)
@@ -67,6 +139,8 @@ def sample_scales(scales, pts: jnp.ndarray, origins: jnp.ndarray,
     for sc in scales:
         s = sc["stride"]
         q = (pts - center0[:, None, :]) / (s * edge_len)
+        if sc.get("cell_offset"):                   # combined-grid low pad
+            q = q + sc["cell_offset"]
         if sc.get("octs") is not None:              # prepacked (eval path)
             X, Y, Z = sc["dims"]
             feats.append(trilinear_sample_octs_batched(sc["octs"], q,
@@ -99,7 +173,7 @@ class HypothesisDecoder(nn.Module):
             y = nn.Conv(self.hidden, (self.ksize,), padding="SAME",
                         use_bias=False, dtype=self.dtype)(y)
             y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                             epsilon=1e-5, dtype=jnp.float32)(y)
+                             epsilon=1e-5, dtype=self.dtype)(y)
             y = nn.relu(y)
         y = nn.Conv(1, (self.ksize,), padding="SAME", dtype=self.dtype)(y)
         return nn.softmax(y[..., 0].astype(jnp.float32), axis=-1)

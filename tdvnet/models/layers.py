@@ -31,7 +31,7 @@ class ConvBnRelu(nn.Module):
         x = nn.Conv(self.features, self.kernel_size, self.strides,
                     padding=pad, use_bias=False, dtype=self.dtype)(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         epsilon=1e-5, dtype=jnp.float32)(x)
+                         epsilon=1e-5, dtype=self.dtype)(x)
         return nn.relu(x)
 
 
@@ -53,7 +53,7 @@ class ConvTransposeUp3d(nn.Module):
                     input_dilation=(2, 2, 2), padding=((1, 2), (1, 2), (1, 2)),
                     use_bias=False, dtype=self.dtype)(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         epsilon=1e-5, dtype=jnp.float32)(x)
+                         epsilon=1e-5, dtype=self.dtype)(x)
         return nn.relu(x)
 
 
@@ -92,7 +92,10 @@ def masked_group_norm(x: jnp.ndarray, mask: jnp.ndarray, num_groups: int,
     var = s2 / denom - mean * mean
     xn = (xg - mean) * jax.lax.rsqrt(jnp.maximum(var, 0.0) + eps)
     xn = xn.reshape(B, gx, gy, gz, C).astype(x.dtype)
-    return (xn * scale + bias) * mask
+    # affine + mask in the input dtype: f32 params/mask would silently
+    # promote every U-Net activation (and its HBM traffic) to f32
+    return (xn * scale.astype(x.dtype) + bias.astype(x.dtype)) \
+        * mask.astype(x.dtype)
 
 
 class MaskedGroupNorm(nn.Module):

@@ -141,7 +141,9 @@ class SceneUNet(nn.Module):
                 f"({grid.shape[1]}) divisible by {2 ** (L - 1)} (stride-2 "
                 f"levels); pick grid_size[0] divisible by "
                 f"{2 ** (L - 1)} * mesh_size")
-        masks = [mask]
+        # mask in the compute dtype: a f32 mask would promote every
+        # `x * mask` product (i.e. all activations) to f32
+        masks = [mask.astype(self.dtype)]
         for _ in range(L - 1):
             masks.append(downsample_mask(masks[-1]))
 

@@ -174,8 +174,12 @@ class ThreeDVNet(nn.Module):
         scene_feats = sample_scales(scales, q, origins, g.edge_len)
         scene_feats = scene_feats.reshape(R, H, P, -1)
 
+        # concat + transpose in the scene-feature dtype (bf16 at eval): the
+        # [R, H, P, 352] tensor is materialized twice here and the decoder
+        # casts to the compute dtype anyway
         feats = jnp.concatenate(
-            [scene_feats, var.reshape(R, H, P, -1)], axis=-1)
+            [scene_feats, var.reshape(R, H, P, -1).astype(scene_feats.dtype)],
+            axis=-1)
         feats = feats.transpose(0, 2, 1, 3).reshape(R * P, H, -1)
         probs = self.decoder(feats, train)                        # [RP, H]
         offset_vals = ivals * offset

@@ -58,15 +58,16 @@ def pack_bilinear_quads(feat: jnp.ndarray) -> jnp.ndarray:
     holds [f(y,x), f(y,x+1), f(y+1,x), f(y+1,x+1)] of the ZERO-PADDED map
     (taps outside the image are zero — grid_sample zeros-padding semantics).
 
-    Why: on TPU, XLA's gather cost is per ROW, independent of row width
-    (measured: C=32 and C=128 row gathers both ~18 ms for 2.1M rows on
-    v5e), so fetching all four bilinear taps in one 4C-wide gather is ~4x
-    cheaper than four C-wide gathers — and fp32 gathers measured ~1.3x
-    faster than bf16.  This is the TPU-shaped replacement for the
+    Why: on TPU, XLA's gather cost is per ROW plus a per-byte term
+    (round-3 measurement, tools/bench_gather_variants.py: 1.76M 512B-row
+    gathers = 10.8 ms fp32 vs 7.9 ms bf16 incl. epilogue), so fetching all
+    four bilinear taps in one 4C-wide gather is ~4x cheaper than four
+    C-wide gathers, and the table keeps the INPUT dtype (bf16 halves the
+    gathered bytes).  This is the TPU-shaped replacement for the
     reference's `grid_sample` warp (`mv3d/subnetworks/mvsnet.py:209`).
     """
     H, W, C = feat.shape
-    p = jnp.pad(feat.astype(jnp.float32), ((1, 1), (1, 1), (0, 0)))
+    p = jnp.pad(feat, ((1, 1), (1, 1), (0, 0)))
     q = jnp.concatenate([p[:-1, :-1], p[:-1, 1:], p[1:, :-1], p[1:, 1:]],
                         axis=-1)                       # [H+1, W+1, 4C]
     return q.reshape((H + 1) * (W + 1), 4 * C)
@@ -77,15 +78,18 @@ def bilinear_sample_quads(quads: jnp.ndarray, xy: jnp.ndarray,
     """Bilinear sample from a quad-packed table (see pack_bilinear_quads).
 
     quads: [(H+1)*(W+1), 4C]; xy: [P, 2] pixel coords; img_hw: (H, W) of
-    the original map.  Exactly equivalent to `bilinear_sample(feat, xy)`.
+    the original map.  Equivalent to `bilinear_sample(feat, xy)`; the
+    interpolation runs in the table's dtype (bf16 tables halve the
+    epilogue traffic; weights are exact in bf16 only to ~3 decimal digits,
+    within the feature noise floor).
     """
     H, W = img_hw
     C4 = quads.shape[-1]
     C = C4 // 4
     x, y = xy[..., 0], xy[..., 1]
     x0f, y0f = jnp.floor(x), jnp.floor(y)
-    wx = (x - x0f)[:, None]
-    wy = (y - y0f)[:, None]
+    wx = (x - x0f)[:, None].astype(quads.dtype)
+    wy = (y - y0f)[:, None].astype(quads.dtype)
     x0 = x0f.astype(jnp.int32)
     y0 = y0f.astype(jnp.int32)
     # anchors in [-1, W-1+1): every partially-in-bounds point keeps its true
@@ -174,8 +178,10 @@ def trilinear_sample_octs(octs: jnp.ndarray, q: jnp.ndarray,
     yi = jnp.clip(q0[:, 1] + 1, 0, Y)
     zi = jnp.clip(q0[:, 2] + 1, 0, Z)
     rows = jnp.take(octs, (xi * (Y + 1) + yi) * (Z + 1) + zi, axis=0)
-    rows = rows.astype(jnp.float32)
-    out = jnp.zeros((q.shape[0], C), jnp.float32)
+    # interpolate in the table's dtype: the epilogue reads 8C and writes C
+    # per query, so a f32 upcast would double the dominant HBM traffic
+    # (weights built in f32, quantized once at the multiply)
+    out = jnp.zeros((q.shape[0], C), octs.dtype)
     i = 0
     for dx in (0, 1):
         for dy in (0, 1):
@@ -183,13 +189,71 @@ def trilinear_sample_octs(octs: jnp.ndarray, q: jnp.ndarray,
                 wgt = (jnp.where(dx, w[:, 0], 1 - w[:, 0])
                        * jnp.where(dy, w[:, 1], 1 - w[:, 1])
                        * jnp.where(dz, w[:, 2], 1 - w[:, 2]))
-                out = out + rows[:, i * C:(i + 1) * C] * wgt[:, None]
+                out = out + rows[:, i * C:(i + 1) * C] \
+                    * wgt[:, None].astype(octs.dtype)
                 i += 1
     return out * inb[:, None].astype(out.dtype)
 
 
 trilinear_sample_octs_batched = jax.vmap(trilinear_sample_octs,
                                          in_axes=(0, 0, None))
+
+
+def _up2_axis_zeropad(vol: jnp.ndarray, axis: int, out_len: int) -> jnp.ndarray:
+    """Exact 2x linear upsampling along one axis with zero-pad semantics.
+
+    Node i of the input sits at output coord 2i; odd output nodes are the
+    midpoint average, with the one-past-the-end tap ZERO (matching
+    `trilinear_sample`'s zero padding).  Output is cropped/zero-padded to
+    `out_len` — positions beyond 2*(n-1)+1 are exactly zero, which is what
+    direct trilinear sampling of the coarse grid returns there.
+    """
+    n = vol.shape[axis]
+    nxt = jnp.concatenate(
+        [jax.lax.slice_in_dim(vol, 1, n, axis=axis),
+         jnp.zeros_like(jax.lax.slice_in_dim(vol, 0, 1, axis=axis))],
+        axis=axis)
+    mid = ((vol + nxt) * vol.dtype.type(0.5)).astype(vol.dtype)
+    y = jnp.stack([vol, mid], axis=axis + 1)
+    shape = list(vol.shape)
+    shape[axis] = 2 * n
+    y = y.reshape(shape)
+    if out_len <= 2 * n:
+        return jax.lax.slice_in_dim(y, 0, out_len, axis=axis)
+    pad = [(0, 0)] * y.ndim
+    pad[axis] = (0, out_len - 2 * n)
+    return jnp.pad(y, pad)
+
+
+def upsample_linear_zeropad(vol: jnp.ndarray, factor: int,
+                            out_xyz) -> jnp.ndarray:
+    """Exact trilinear upsampling of [B, X, Y, Z, C] by a power-of-two
+    factor onto a finer nested lattice (coarse node i ↦ fine node
+    factor*i), with zero-padding semantics outside the coarse volume.
+
+    Key identity (used by `combine_scales`): a multilinear function
+    restricted to a sub-box is multilinear in the sub-box's corners, so
+    trilinear_sample(coarse, p/factor) == trilinear_sample(upsampled, p)
+    EXACTLY for every p — including outside, where both are zero.
+    """
+    assert factor & (factor - 1) == 0, factor
+    f = factor
+    while f > 1:
+        tgt = [min(2 * s, o if f == 2 else 2 * s)
+               for s, o in zip(vol.shape[1:4], out_xyz)]
+        for ax, t in zip((1, 2, 3), tgt):
+            vol = _up2_axis_zeropad(vol, ax, t)
+        f //= 2
+    # final crop/pad to the exact fine dims
+    for ax, o in zip((1, 2, 3), out_xyz):
+        n = vol.shape[ax]
+        if n > o:
+            vol = jax.lax.slice_in_dim(vol, 0, o, axis=ax)
+        elif n < o:
+            pad = [(0, 0)] * vol.ndim
+            pad[ax] = (0, o - n)
+            vol = jnp.pad(vol, pad)
+    return vol
 
 
 def resize_nearest(x: jnp.ndarray, out_hw) -> jnp.ndarray:

@@ -168,3 +168,35 @@ def test_costvolume_chunking_pads_odd_point_counts(rng, monkeypatch):
         pts, feats, src_idx, src_mask, rot, tv, K, (10, 12))
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_combine_scales_matches_per_scale_sampling():
+    """Merged fine-lattice sampling (eval fast path) must reproduce
+    per-scale trilinear sampling exactly, including zero-pad boundaries
+    (queries up to half a volume outside)."""
+    import jax.numpy as jnp
+
+    from tdvnet.models.hypothesis import combine_scales, sample_scales
+
+    rng = np.random.default_rng(0)
+    B, X, Y, Z = 2, 16, 12, 8
+    scales = []
+    for s, c in zip((4, 2, 1), (5, 4, 6)):
+        g = jnp.asarray(rng.normal(
+            size=(B, X // s, Y // s, Z // s, c)).astype(np.float32))
+        scales.append({"grid": g, "stride": s})
+    origins = jnp.asarray(rng.normal(size=(B, 3)).astype(np.float32))
+    pts = jnp.asarray((rng.uniform(-0.5, 1.5, size=(B, 4000, 3))
+                       * np.array([X, Y, Z]) * 0.05
+                       + np.asarray(origins)[:, None]).astype(np.float32))
+    ref = sample_scales(scales, pts, origins, 0.05)
+    comb = combine_scales(scales)
+    assert len(comb) == 1 and comb[0]["grid"].shape[-1] == 15
+    got = sample_scales(comb, pts, origins, 0.05)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+
+    # non-nested (non-divisible) dims must fall back unchanged
+    bad = [{"grid": jnp.zeros((1, 4, 3, 2, 2)), "stride": 4},
+           {"grid": jnp.zeros((1, 13, 10, 7, 2)), "stride": 1}]
+    out = combine_scales(bad)
+    assert len(out) == 2 and out[0]["grid"].shape == (1, 4, 3, 2, 2)

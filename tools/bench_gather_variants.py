@@ -75,31 +75,36 @@ def main():
     idx = jax.random.randint(jax.random.fold_in(rng, 1), (P,), 0, n_rows)
     w = jax.random.uniform(jax.random.fold_in(rng, 2), (P, 8), jnp.float32)
 
+    def dep(eps, idx):
+        # runtime-zero index perturbation keeps the gather inside the scan
+        # (XLA hoists eps-independent compute out of the chain otherwise)
+        return idx + (eps * 1e-30).astype(jnp.int32)
+
     def gather_only(eps, octs, idx):
-        rows = jnp.take(octs, idx, axis=0)
-        return rows.astype(jnp.float32).mean() + eps
+        rows = jnp.take(octs, dep(eps, idx), axis=0)
+        return rows.astype(jnp.float32).mean()
 
     def epi_f32(eps, octs, idx, w):
-        rows = jnp.take(octs, idx, axis=0).astype(jnp.float32)
+        rows = jnp.take(octs, dep(eps, idx), axis=0).astype(jnp.float32)
         out = jnp.zeros((P, C), jnp.float32)
         for i in range(8):
             out = out + rows[:, i * C:(i + 1) * C] * w[:, i:i + 1]
-        return out.mean() + eps
+        return out.mean()
 
     def epi_bf16(eps, octs, idx, w):
-        rows = jnp.take(octs, idx, axis=0)
+        rows = jnp.take(octs, dep(eps, idx), axis=0)
         wb = w.astype(jnp.bfloat16)
         out = jnp.zeros((P, C), jnp.bfloat16)
         for i in range(8):
             out = out + rows[:, i * C:(i + 1) * C] * wb[:, i:i + 1]
-        return out.astype(jnp.float32).mean() + eps
+        return out.astype(jnp.float32).mean()
 
     def epi_dot(eps, octs, idx, w):
-        rows = jnp.take(octs, idx, axis=0).reshape(P, 8, C)
+        rows = jnp.take(octs, dep(eps, idx), axis=0).reshape(P, 8, C)
         out = jnp.einsum("pic,pi->pc", rows.astype(jnp.bfloat16),
                          w.astype(jnp.bfloat16),
                          preferred_element_type=jnp.float32)
-        return out.mean() + eps
+        return out.mean()
 
     print(f"-- trilinear oct rows: P={P}, table {n_rows}x{8*C}", flush=True)
     time_chained("oct gather only (bf16 table)", gather_only, t_rt,
@@ -119,10 +124,11 @@ def main():
 
     def narrow8(eps, vol, idx8, w):
         out = jnp.zeros((P, C), jnp.float32)
+        idx8d = dep(eps, idx8)
         for i in range(8):
-            out = out + jnp.take(vol, idx8[i], axis=0).astype(jnp.float32) \
+            out = out + jnp.take(vol, idx8d[i], axis=0).astype(jnp.float32) \
                 * w[:, i:i + 1]
-        return out.mean() + eps
+        return out.mean()
     time_chained("8 narrow C-gathers + f32 epilogue", narrow8, t_rt,
                  vol, idx8, w)
 
@@ -136,19 +142,21 @@ def main():
     w2 = jax.random.uniform(jax.random.fold_in(rng, 5), (P2, 4), jnp.float32)
 
     def quad_f32(eps, quads, idx2, w2):
-        rows = jnp.take(quads, idx2, axis=0).astype(jnp.float32)
+        rows = jnp.take(quads, idx2 + (eps * 1e-30).astype(jnp.int32),
+                        axis=0).astype(jnp.float32)
         out = jnp.zeros((P2, C2), jnp.float32)
         for i in range(4):
             out = out + rows[:, i * C2:(i + 1) * C2] * w2[:, i:i + 1]
-        return out.mean() + eps
+        return out.mean()
 
     def quad_bf16(eps, quads, idx2, w2):
-        rows = jnp.take(quads, idx2, axis=0)
+        rows = jnp.take(quads, idx2 + (eps * 1e-30).astype(jnp.int32),
+                        axis=0)
         wb = w2.astype(jnp.bfloat16)
         out = jnp.zeros((P2, C2), jnp.bfloat16)
         for i in range(4):
             out = out + rows[:, i * C2:(i + 1) * C2] * wb[:, i:i + 1]
-        return out.astype(jnp.float32).mean() + eps
+        return out.astype(jnp.float32).mean()
 
     print(f"-- bilinear quad rows: P={P2}, table {n_rows2}x{4*C2}",
           flush=True)
