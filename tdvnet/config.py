@@ -66,8 +66,11 @@ class ModelConfig:
     dtype: Any = jnp.float32
     # plane-sweep warp: "matmul" = two-pass homography resampling on the
     # MXU (tdvnet/ops/warp.py, ~4.3x the gather path on v5e); "gather" =
-    # quad-packed bilinear gathers (exact grid_sample semantics)
-    warp_mode: str = "matmul"
+    # quad-packed bilinear gathers (exact grid_sample semantics); "auto" =
+    # matmul with a runtime fallback to gather when the max scanline slope
+    # |alpha| exceeds warp_alpha_max (rotation-heavy view pairs)
+    warp_mode: str = "auto"
+    warp_alpha_max: float = 0.25
 
     @property
     def n_hyp(self) -> int:

@@ -45,6 +45,15 @@ def _flops_of(lowered) -> float:
     return float(ca.get("flops", 0.0) or 0.0)
 
 
+def _scan_chunks(body, n: int, unroll: bool):
+    """`lax.scan` of `body(None, i) -> (None, y)` over i in [0, n), or the
+    unrolled equivalent (for FLOP counting — see `_count`)."""
+    if unroll:
+        return jnp.stack([body(None, jnp.int32(i))[1] for i in range(n)])
+    _, ys = jax.lax.scan(body, None, jnp.arange(n, dtype=jnp.int32))
+    return ys
+
+
 class FusedSceneInference:
     """Whole-scene depth prediction in two device dispatches.
 
@@ -72,14 +81,20 @@ class FusedSceneInference:
             edge_len=cfg.model.grid.edge_len, grid_size=e.eval_grid_size,
             max_anchors=e.eval_max_anchors)
         self._prep = jax.jit(self._prep_impl,
-                             static_argnames=("u8", "n_chunks"))
+                             static_argnames=("u8", "n_chunks", "unroll"))
         self._refine = jax.jit(self._refine_impl,
-                               static_argnames=("grid_cfg", "n_chunks"))
+                               static_argnames=("grid_cfg", "n_chunks",
+                                                "unroll"))
         self.last_scene_stats: Dict = {}
 
     # ------------------------------------------------------------- helpers
     def _count(self, jitfn, kwargs, statics: Tuple):
-        """Accumulate compiled-graph FLOPs once per static signature."""
+        """Accumulate graph FLOPs once per static signature.
+
+        XLA `cost_analysis` counts a `lax.scan` body ONCE regardless of
+        trip count, so the counting pass lowers an UNROLLED twin of the
+        dispatched graph (same math, python loops) — compile-only, never
+        executed."""
         if not self.count_flops:
             return
         key = (id(jitfn), statics,
@@ -87,7 +102,7 @@ class FusedSceneInference:
                      sorted(kwargs.items()) if hasattr(v, "shape")))
         fl = self._flop_cache.get(key)
         if fl is None:
-            fl = _flops_of(jitfn.lower(**kwargs))
+            fl = _flops_of(jitfn.lower(**dict(kwargs, unroll=True)))
             self._flop_cache[key] = fl
         self.flops += fl
 
@@ -155,7 +170,8 @@ class FusedSceneInference:
 
     # -------------------------------------------------------- dispatch 1
     def _prep_impl(self, variables, images, rgb_scale, rgb_mean, rgb_std,
-                   rot, tv, Ks, n_refs, u8: bool, n_chunks: int):
+                   rot, tv, Ks, n_refs, u8: bool, n_chunks: int,
+                   unroll: bool = False):
         """u8 stack -> features -> initial depth -> scene bbox."""
         cfg = self.cfg
         k = cfg.eval.n_src_on_either_side
@@ -179,8 +195,13 @@ class FusedSceneInference:
         def feat_of(chunk_imgs):
             return self.model.apply(variables, chunk_imgs, False,
                                     method="extract_features")[:2]
-        fh, fq = jax.lax.map(feat_of,
-                             imgs_p.reshape(-1, FC, *imgs_p.shape[1:]))
+        imgs_c = imgs_p.reshape(-1, FC, *imgs_p.shape[1:])
+        if unroll:
+            fhs, fqs = zip(*[feat_of(imgs_c[i])
+                             for i in range(imgs_c.shape[0])])
+            fh, fq = jnp.stack(fhs), jnp.stack(fqs)
+        else:
+            fh, fq = jax.lax.map(feat_of, imgs_c)
         feats_half = fh.reshape(-1, *fh.shape[2:])[:Nb]
         feats_quarter = fq.reshape(-1, *fq.shape[2:])[:Nb]
 
@@ -196,8 +217,7 @@ class FusedSceneInference:
             d, _ = self.model.apply(variables, cb, dc, q, False,
                                     method="initial_depth")
             return None, d
-        _, d_chunks = jax.lax.scan(init_body, None,
-                                   jnp.arange(n_chunks, dtype=jnp.int32))
+        d_chunks = _scan_chunks(init_body, n_chunks, unroll)
         depth_all = d_chunks.reshape(n_chunks * CH, h, w)
 
         # scene bbox from back-projected depths (valid refs only)
@@ -218,7 +238,8 @@ class FusedSceneInference:
     # -------------------------------------------------------- dispatch 2
     def _refine_impl(self, variables, imgs, feats_half, feats_quarter,
                      rot, tv, Ks, depth_all, n_refs,
-                     grid_cfg: GridConfig, n_chunks: int):
+                     grid_cfg: GridConfig, n_chunks: int,
+                     unroll: bool = False):
         from tdvnet.models.hypothesis import (_COMBINE_BUDGET_BYTES,
                                               combine_scales, pack_scales)
 
@@ -257,8 +278,7 @@ class FusedSceneInference:
                                         cb, offsets, 3, grid_cfg, False,
                                         method="run_pointflow_multi")
                 return None, dnew
-            _, d_chunks = jax.lax.scan(pf_body, None,
-                                       jnp.arange(n_chunks, dtype=jnp.int32))
+            d_chunks = _scan_chunks(pf_body, n_chunks, unroll)
             depth_all = d_chunks.reshape(Rb, *depth_all.shape[1:])
 
         # upsample, scanned (ref r uses image r + k; windows contiguous)
@@ -273,8 +293,7 @@ class FusedSceneInference:
             d = self.model.apply(variables, dch, fh, fq, im, ridx, False,
                                  method="upsample")
             return None, d
-        _, out_chunks = jax.lax.scan(up_body, None,
-                                     jnp.arange(n_chunks, dtype=jnp.int32))
+        out_chunks = _scan_chunks(up_body, n_chunks, unroll)
         out = out_chunks.reshape(Rb, *out_chunks.shape[2:])
         if self.fetch_mm:
             out = jnp.round(jnp.clip(out, 0.0, 65.535) * 1000.0) \

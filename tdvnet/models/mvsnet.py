@@ -50,7 +50,8 @@ class MVSNet(nn.Module):
     img_size: Tuple[int, int] = (256, 320)
     cost_base: int = 8
     dtype: jnp.dtype = jnp.float32
-    warp_mode: str = "matmul"        # see plane_sweep_cost_volume
+    warp_mode: str = "auto"          # see plane_sweep_cost_volume
+    warp_alpha_max: float = 0.25
 
     def setup(self):
         self.backbone = MnasMulti(dtype=self.dtype)
@@ -73,7 +74,7 @@ class MVSNet(nn.Module):
         var = costvolume.plane_sweep_cost_volume(
             feats_quarter, rotmats, tvecs, K, ref_idx, src_idx, src_mask,
             depth_start, depth_interval, n_planes, self.img_size, depth_size,
-            mode=self.warp_mode,
+            mode=self.warp_mode, alpha_max=self.warp_alpha_max,
             weights_dtype=(jnp.bfloat16 if self.dtype == jnp.bfloat16
                            else jnp.float32))
         cost = self.cost_reg(var.astype(self.dtype), train)[..., 0]  # [R,D,h,w]

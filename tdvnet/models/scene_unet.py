@@ -127,13 +127,17 @@ class SceneUNet(nn.Module):
     axis_name: Optional[str] = None
 
     @nn.compact
-    def __call__(self, grid, mask):
+    def __call__(self, grid, mask, axis_name: Optional[str] = None):
         """grid: [B, gx, gy, gz, dims[0]]; mask: [B, gx, gy, gz, 1].
+
+        axis_name: call-time override of the attribute (same param tree
+        either way) — lets one bound module run both replicated and
+        halo-sharded inside a shard_map (2-D data x space mesh).
 
         Returns a list of scale dicts coarsest-first:
           {"grid": [B, x, y, z, C], "mask": ..., "stride": int}
         """
-        a = self.axis_name
+        a = axis_name if axis_name is not None else self.axis_name
         L = len(self.dims)
         if a is not None:
             assert grid.shape[1] % (2 ** (L - 1)) == 0, (

@@ -41,7 +41,8 @@ class ThreeDVNet(nn.Module):
     def setup(self):
         c = self.cfg
         self.mvsnet = MVSNet(c.feat_dim, c.img_size, c.cost_base_channels,
-                             dtype=c.dtype, warp_mode=c.warp_mode)
+                             dtype=c.dtype, warp_mode=c.warp_mode,
+                             warp_alpha_max=c.warp_alpha_max)
         # PointNet(hidden=4f, out=2f, in=f+3) per reference PL3DVNet.__init__
         self.pointnet = PointNet(4 * c.feat_dim, 2 * c.feat_dim, dtype=c.dtype)
         self.scene_unet = SceneUNet(c.unet_dims, c.unet_groups, c.unet_res,
@@ -123,8 +124,15 @@ class ThreeDVNet(nn.Module):
 
     def model_scene(self, depth_pred, feats_quarter, batch: FrameBatch,
                     grid_cfg: Optional[GridConfig] = None,
-                    train: bool = False):
+                    train: bool = False, space_axis: Optional[str] = None):
         """Voxelize the scene point cloud, PointNet-encode, run the U-Net.
+
+        space_axis: when set (inside shard_map over a mesh with that axis),
+        the dense grid's x-extent is split into one block per device, the
+        U-Net runs halo-sharded over the axis, and the output scales are
+        all-gathered back — numerically identical to the replicated run
+        (tests/test_parallel_halo.py), with the U-Net's FLOPs and activation
+        memory divided across the axis.
 
         Returns (scales coarsest-first, origins [B, 3], stats) where stats
         carries the capacity-overflow counters (VERDICT r1 #9: no silent
@@ -132,7 +140,21 @@ class ThreeDVNet(nn.Module):
         """
         dense, occ, origins, stats = self.scene_dense(
             depth_pred, feats_quarter, batch, grid_cfg)
-        scales = self.scene_unet(dense, occ)
+        if space_axis is None:
+            scales = self.scene_unet(dense, occ)
+        else:
+            n = jax.lax.axis_size(space_axis)
+            i = jax.lax.axis_index(space_axis)
+            xb = dense.shape[1] // n
+            dl = jax.lax.dynamic_slice_in_dim(dense, i * xb, xb, axis=1)
+            ol = jax.lax.dynamic_slice_in_dim(occ, i * xb, xb, axis=1)
+            scales_l = self.scene_unet(dl, ol, axis_name=space_axis)
+            scales = [dict(sc,
+                           grid=jax.lax.all_gather(sc["grid"], space_axis,
+                                                   axis=1, tiled=True),
+                           mask=jax.lax.all_gather(sc["mask"], space_axis,
+                                                   axis=1, tiled=True))
+                      for sc in scales_l]
         return scales, origins, stats
 
     def run_pointflow(self, scales, origins, depth_pred, feats_quarter,
@@ -242,7 +264,8 @@ class ThreeDVNet(nn.Module):
                  depth_cfg: Optional[DepthConfig] = None,
                  grid_cfg: Optional[GridConfig] = None,
                  with_metrics: bool = True,
-                 backbone_train: Optional[bool] = None) -> Dict:
+                 backbone_train: Optional[bool] = None,
+                 space_axis: Optional[str] = None) -> Dict:
         """backbone_train=False keeps backbone BatchNorm in inference mode
         during training — the reference's non-finetune regime
         (`mv3d/lightningmodel.py:271-272`, `mv3d/utils.py:17-21`)."""
@@ -273,7 +296,8 @@ class ThreeDVNet(nn.Module):
 
         for _ in range(n_iters):
             scales, origins, scene_stats = self.model_scene(
-                depth_pred, feats_quarter, batch, grid_cfg, train)
+                depth_pred, feats_quarter, batch, grid_cfg, train,
+                space_axis=space_axis)
             out["scene_stats"] = scene_stats
             for off in offsets:
                 delta = self.run_pointflow(scales, origins, depth_pred,

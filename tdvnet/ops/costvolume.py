@@ -105,32 +105,56 @@ def plane_sweep_cost_volume(feats: jnp.ndarray, rotmats: jnp.ndarray,
                             img_size: Tuple[int, int],
                             plane_size: Tuple[int, int],
                             mode: str = "gather",
-                            weights_dtype=jnp.float32) -> jnp.ndarray:
+                            weights_dtype=jnp.float32,
+                            alpha_max: float = 0.25) -> jnp.ndarray:
     """Variance cost volume for each ref view.
 
     feats: [N, Hf, Wf, C] (quarter-res image features).
     ref_idx: [R] image index of each ref view; src_idx/src_mask: [R, S].
     mode: "gather" (quad-packed bilinear gathers, exact grid_sample
-    semantics) or "matmul" (two-pass homography resampling on the MXU —
+    semantics), "matmul" (two-pass homography resampling on the MXU —
     `tdvnet.ops.warp`, ~4.3x faster on v5e, O(scanline-slope) sub-pixel
-    deviation from exact bilinear).
+    deviation from exact bilinear), or "auto" (matmul with a runtime
+    `lax.cond` fallback to the exact gather path when the max scanline
+    slope |alpha| over the batch exceeds `alpha_max` — rotation-heavy
+    view pairs degrade the two-pass decomposition; reference exactness
+    bar is bilinear `grid_sample`, `mv3d/subnetworks/mvsnet.py:187-211`).
     Returns [R, D, h, w, C] fp32 variance volume (NDHWC for the 3D U-Net).
     """
-    if mode == "matmul":
-        from tdvnet.ops import warp
-
-        return warp.plane_sweep_variance_matmul(
-            feats, rotmats, tvecs, K, ref_idx, src_idx, src_mask,
-            depth_start, depth_interval, n_planes, img_size, plane_size,
-            weights_dtype=weights_dtype)
     h, w = plane_size
-    pts = camera.plane_sweep_points(depth_start, depth_interval, n_planes,
-                                    rotmats[ref_idx], tvecs[ref_idx],
-                                    K[ref_idx], img_size, plane_size)
-    P_all = camera.projection_matrix(K, rotmats, tvecs)
-    var, _ = _source_variance(pts, feats, src_idx, src_mask, P_all, img_size)
-    R = ref_idx.shape[0]
-    return var.reshape(R, n_planes, h, w, -1)
+
+    def gather_variance(feats):
+        pts = camera.plane_sweep_points(depth_start, depth_interval,
+                                        n_planes, rotmats[ref_idx],
+                                        tvecs[ref_idx], K[ref_idx],
+                                        img_size, plane_size)
+        P_all = camera.projection_matrix(K, rotmats, tvecs)
+        var, _ = _source_variance(pts, feats, src_idx, src_mask, P_all,
+                                  img_size)
+        R = ref_idx.shape[0]
+        return var.reshape(R, n_planes, h, w, -1)
+
+    if mode == "gather":
+        return gather_variance(feats)
+
+    from tdvnet.ops import warp
+
+    Hf, Wf = feats.shape[1:3]
+    Hm = jax.lax.stop_gradient(warp.plane_sweep_homographies(
+        rotmats, tvecs, K, ref_idx, src_idx, depth_start, depth_interval,
+        n_planes, img_size, plane_size, (Hf, Wf)))
+
+    def matmul_variance(feats):
+        return warp.warp_variance_matmul(feats[src_idx], Hm, src_mask,
+                                         plane_size,
+                                         weights_dtype=weights_dtype)
+
+    if mode == "matmul":
+        return matmul_variance(feats)
+    assert mode == "auto", mode
+    alpha = warp.max_abs_alpha(Hm, h)
+    return jax.lax.cond(alpha <= alpha_max, matmul_variance,
+                        gather_variance, feats)
 
 
 def hypothesis_point_variance(pts_world: jnp.ndarray, feats: jnp.ndarray,

@@ -138,7 +138,7 @@ def _hat(pos, n: int, dtype):
 
 def warp_variance_matmul(feats, Hmat, src_mask, plane_size: Tuple[int, int],
                          weights_dtype=jnp.bfloat16,
-                         plane_block: int = 32):
+                         plane_block: int = 96):
     """Fused two-pass warp + masked source variance.
 
     feats:    [N, Hf, Wf, C] source feature maps.
@@ -209,7 +209,7 @@ def plane_sweep_variance_matmul(feats, rotmats, tvecs, K, ref_idx, src_idx,
                                 img_size: Tuple[int, int],
                                 plane_size: Tuple[int, int],
                                 weights_dtype=jnp.bfloat16,
-                                plane_block: int = 32) -> jnp.ndarray:
+                                plane_block: int = 96) -> jnp.ndarray:
     """Drop-in MXU replacement for the gather-based plane-sweep variance:
     returns [R, D, h, w, C] float32 like
     `costvolume.plane_sweep_cost_volume`."""
