@@ -32,6 +32,19 @@ N_EVAL_SCENES = 2
 N_VIEWS = 14
 TRAIN_STEPS = 60
 
+# per-method params/steps so the table reads as a protocol record, not a
+# capability ranking (briefly-trained baselines vs the trained flagship)
+ROW_META = {}
+
+
+def _note_meta(name, variables, steps):
+    import jax
+
+    params = variables.get("params", variables)
+    n = sum(int(np.prod(x.shape))
+            for x in jax.tree_util.tree_leaves(params))
+    ROW_META[name] = {"params_m": n / 1e6, "steps": steps}
+
 
 def _local_window(n_imgs, r0, r1, k, cap):
     ref_idx = np.arange(cap, dtype=np.int32) + k
@@ -97,6 +110,7 @@ def method_3dvnet(args, train_views, cfg):
                      "batch_stats": raw.get("batch_stats",
                                             state.batch_stats)}
         print(f"[3dvnet] restored epoch {ep} (params-only)")
+        _note_meta("3dvnet", variables, f"full training run (ep {ep})")
     return make_3dvnet_pred_fn(model, variables, cfg), True
 
 
@@ -137,6 +151,7 @@ def method_fastmvsnet(args, train_views, cfg):
     step = FT.make_finetune_step(FT.fastmvsnet_apply_loss(model))
     state = _brief_train(state, step, batches, "fastmvsnet")
     vs = {"params": state.params, "batch_stats": state.batch_stats}
+    _note_meta("fastmvsnet", vs, TRAIN_STEPS)
     return FM.make_pred_fn(model, vs), True
 
 
@@ -164,6 +179,7 @@ def method_pointmvsnet(args, train_views, cfg):
     step = FT.make_finetune_step(FT.pointmvsnet_apply_loss(model))
     state = _brief_train(state, step, batches, "pointmvsnet")
     vs = {"params": state.params, "batch_stats": state.batch_stats}
+    _note_meta("pointmvsnet", vs, TRAIN_STEPS)
     return PM.make_pred_fn(model, vs), True
 
 
@@ -203,6 +219,7 @@ def method_gpmvs(args, train_views, cfg):
     step = FT.make_finetune_step(FT.gpmvs_apply_loss(model))
     state = _brief_train(state, step, batches, "gpmvs")
     vs = {"params": state.params, "batch_stats": state.batch_stats}
+    _note_meta("gpmvs", vs, TRAIN_STEPS)
     return G.make_pred_fn(model, vs, IMG), True
 
 
@@ -229,6 +246,7 @@ def method_dvmvs(args, train_views, cfg):
     step = FT.make_finetune_step(FT.pairnet_apply_loss(model))
     state = _brief_train(state, step, batches, "dvmvs")
     vs = {"params": state.params, "batch_stats": state.batch_stats}
+    _note_meta("dvmvs", vs, TRAIN_STEPS)
     return DV.make_pairnet_pred_fn(model, vs, chunk=4), True
 
 
@@ -301,6 +319,7 @@ def method_atlas(args, train_views, cfg):
             losses.append(float(loss))
     print(f"[atlas] loss {losses[0]:.3f} -> {losses[-1]:.3f}")
     vs = {"params": params, "batch_stats": stats}
+    _note_meta("atlas", vs, TRAIN_STEPS)
     return A.make_pred_fn(model, vs, voxel_size=voxel, max_dim=96), False
 
 
@@ -356,6 +375,7 @@ def method_neuralrecon(args, train_views, cfg):
             losses.append(float(loss))
     print(f"[neuralrecon] loss {losses[0]:.3f} -> {losses[-1]:.3f}")
     vs = {"params": params, "batch_stats": stats}
+    _note_meta("neuralrecon", vs, TRAIN_STEPS)
     return NR.make_pred_fn(model, vs, voxel_fine=voxel, frag_dim=32), False
 
 
@@ -375,7 +395,7 @@ def main():
 
     ap = argparse.ArgumentParser()
     ap.add_argument("--workdir", required=True)
-    ap.add_argument("--ckpt-dir", default="ckpts/r2_synth48")
+    ap.add_argument("--ckpt-dir", default="weights/3dvnet_synth48.npz")
     ap.add_argument("--methods", default=",".join(METHODS))
     ap.add_argument("--out", default="RESULTS.md")
     ap.add_argument("--quick", action="store_true",
@@ -455,18 +475,24 @@ def main():
             "scaled to this environment (no real ScanNet data; numbers "
             "rank methods on this renderer only and are NOT paper "
             "numbers).\n\n"
-            "| method | " + " | ".join(keys2d + keys3d) + " |\n"
-            "|---|" + "---|" * (len(keys2d) + len(keys3d)) + "\n")
+            "| method | params (M) | train steps | "
+            + " | ".join(keys2d + keys3d) + " |\n"
+            "|---|---|---|" + "---|" * (len(keys2d) + len(keys3d)) + "\n")
         for name, avg in rows.items():
+            meta = ROW_META.get(name, {})
+            pm = meta.get("params_m")
+            mcells = ["-" if pm is None else f"{pm:.1f}",
+                      str(meta.get("steps", "-"))]
             if "error" in avg:
-                f.write(f"| {name} | failed: {avg['error'][:60]} |\n")
+                f.write(f"| {name} | " + " | ".join(mcells)
+                        + f" | failed: {avg['error'][:60]} |\n")
                 continue
             fm = flat(avg)
             cells = []
             for k in keys2d + keys3d:
                 v = fm.get(k)
                 cells.append("-" if v is None else f"{v:.3f}")
-            f.write(f"| {name} | " + " | ".join(cells) + " |\n")
+            f.write(f"| {name} | " + " | ".join(mcells + cells) + " |\n")
     print(f"wrote {args.out}")
 
     # interactive side-by-side viewer (reference `mv3d/eval/visualizer.py`)
