@@ -179,15 +179,19 @@ def warp_variance_matmul(feats, Hmat, src_mask, plane_size: Tuple[int, int],
             v_col = (alpha[..., None] * x_idx
                      + beta[..., None])                     # [R,pb,h,Wf]
             Wy = _hat(v_col, Hf, weights_dtype)             # [R,pb,h,Wf,Hf]
+            # hat rows have <=2 nonzeros, so the pass-1 contraction sums
+            # only two products — emitting it in the weights dtype is
+            # harmless and halves the (huge) G intermediate's HBM traffic
+            # vs a fp32 emit + cast (fp32 variance accumulation below is
+            # untouched; the fp32-weights path keeps fp32 throughout)
             G = jnp.einsum("rdqxy,ryxc->rdqxc", Wy, fx[:, s],
-                           preferred_element_type=jnp.float32)
+                           preferred_element_type=weights_dtype)
             # pass 2: x-interp at u(q, p)
             num = a[..., None, 0:1] * p_idx + b[..., 0:1]   # [R,pb,h,w]
             den = a[..., None, 2:3] * p_idx + b[..., 2:3]
             u = num / den
             Wx = _hat(u, Wf, weights_dtype)                 # [R,pb,h,w,Wf]
-            out = jnp.einsum("rdqpx,rdqxc->rdqpc", Wx,
-                             G.astype(weights_dtype),
+            out = jnp.einsum("rdqpx,rdqxc->rdqpc", Wx, G,
                              preferred_element_type=jnp.float32)
             m = mask_f[:, s][:, None, None, None, None]
             return (acc_v + out * m, acc_sq + out * out * m), None
