@@ -136,11 +136,21 @@ def main(save_dirname: str, pred_fn: Callable, cfg: Config,
     return processresults.calc_avg_metrics(save_dir)
 
 
-def make_3dvnet_pred_fn(model, variables, cfg: Config):
-    """The flagship's pred_fn: chunked whole-scene inference."""
-    from tdvnet.eval.whole_scene import SceneInference
+def make_3dvnet_pred_fn(model, variables, cfg: Config, mesh=None):
+    """The flagship's pred_fn: whole-scene inference.
 
-    inf = SceneInference(model, variables, cfg)
+    Uses the two-dispatch fused driver (`tdvnet.eval.fused_scene`) on a
+    single chip; result depths are mm-quantized on fetch (±0.5 mm, far
+    below every metric threshold).  Pass a mesh for spatially-sharded
+    scene volumes — that path keeps the host-chunked driver."""
+    if mesh is not None:
+        from tdvnet.eval.whole_scene import SceneInference
+
+        inf = SceneInference(model, variables, cfg, mesh=mesh)
+    else:
+        from tdvnet.eval.fused_scene import FusedSceneInference
+
+        inf = FusedSceneInference(model, variables, cfg)
 
     def pred_fn(views, scene_dir, dset):
         out = inf.predict_scene(views)

@@ -70,11 +70,14 @@ def main():
                                         bc.depth_img_size, seed=0)],
             bc.n_views, bc.n_ref, bc.n_src_on_either_side)
         model, state = create_state(cfg, jax.random.PRNGKey(0), fb)
-        state, ep = C.restore(args.ckpt_dir, state)
-        print(f"restored epoch {ep}")
+        # params-only restore: robust to optimizer-config differences and
+        # accepts the committable .npz weights form
+        raw, ep = C.restore_params(args.ckpt_dir)
+        print(f"restored epoch {ep} (params-only)")
         pred_fn = make_3dvnet_pred_fn(
-            model, {"params": state.params,
-                    "batch_stats": state.batch_stats}, cfg)
+            model, {"params": raw["params"],
+                    "batch_stats": raw.get("batch_stats",
+                                           state.batch_stats)}, cfg)
         name = "3dvnet"
     else:
         def pred_fn(views, scene_dir, dset):
