@@ -41,6 +41,11 @@ def main():
                          "child command")
     ap.add_argument("--target-epoch", type=int, required=True)
     ap.add_argument("--stall-sec", type=float, default=720.0)
+    ap.add_argument("--first-stall-sec", type=float, default=1800.0,
+                    help="stall window before the FIRST new checkpoint of "
+                         "a launch: a cold resume spends ~10-15 min in "
+                         "remote compiles at 0%% CPU, indistinguishable "
+                         "from a stall")
     ap.add_argument("--poll-sec", type=float, default=30.0)
     ap.add_argument("--max-restarts", type=int, default=8)
     ap.add_argument("cmd", nargs=argparse.REMAINDER,
@@ -81,9 +86,11 @@ def main():
                 except subprocess.TimeoutExpired:
                     child.kill()
                 return
-            if time.time() - last_progress > args.stall_sec:
+            window = (args.stall_sec if last_ep > ep0
+                      else args.first_stall_sec)
+            if time.time() - last_progress > window:
                 print(f"[supervisor] STALL: no new checkpoint for "
-                      f"{args.stall_sec:.0f}s (latest epoch {ep}); "
+                      f"{window:.0f}s (latest epoch {ep}); "
                       f"killing pid {child.pid}", flush=True)
                 child.kill()                 # exact child pid only
                 child.wait()
