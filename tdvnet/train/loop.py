@@ -201,13 +201,21 @@ class MetricsLogger:
 
 def fit(cfg: Config, train_batches, val_batches: Callable[[], Iterable],
         n_epochs: int, log_dir: str = "runs/tdvnet",
-        ckpt_dir: Optional[str] = None, resume: bool = False):
+        ckpt_dir: Optional[str] = None, resume: bool = False,
+        init_from: Optional[str] = None):
     """Epoch loop.
 
     train_batches: either a `StreamingLoader`-like object (has `.epoch(e)`
     yielding per-epoch shuffled, prefetched batches and `__len__`) or a
     plain iterable of pre-collated batches (small smoke runs / tests —
     every epoch replays the same list).
+
+    init_from: params/batch_stats warm start (an orbax ckpt dir or a
+    committable `.npz` from `tools/export_weights.py`) used when `ckpt_dir`
+    holds no resumable checkpoint — continue training from shipped weights
+    into a fresh checkpoint directory (optimizer state reinitialized, epoch
+    counter continues from the source's epoch so lr/λ/n_iters schedules
+    stay consistent with the original run).
     """
     from tdvnet.train import checkpoints as ckpt_lib
 
@@ -244,6 +252,16 @@ def fit(cfg: Config, train_batches, val_batches: Callable[[], Iterable],
                       "(optimizer state reinitialized)", flush=True)
         if restored is not None:
             state, start_epoch = restored
+    if start_epoch == 0 and init_from is not None:
+        pr = ckpt_lib.restore_params(init_from)
+        assert pr is not None, f"--init-from {init_from}: nothing restorable"
+        raw, ep = pr
+        state = state.replace(
+            params=raw["params"],
+            batch_stats=raw.get("batch_stats", state.batch_stats))
+        start_epoch = ep
+        print(f"[fit] warm start from {init_from} (epoch {ep}, optimizer "
+              "state reinitialized)", flush=True)
 
     logger = MetricsLogger(log_dir, cfg.train.use_tensorboard)
     step_fns = {}

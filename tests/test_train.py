@@ -237,3 +237,36 @@ def test_grad_accum_matches_large_batch(setup):
         not np.array_equal(np.asarray(a), np.asarray(b))
         for a, b in zip(p0, jax.tree_util.tree_leaves(s2.params)))
     assert changed
+
+
+def test_fit_warm_starts_from_npz(setup, tmp_path):
+    """`fit(init_from=weights.npz)` must load the shipped-weights form and
+    continue the epoch counter (the shipped-checkpoint continuation path,
+    `tools/train_3dvnet.py --init-from`)."""
+    from tdvnet.train import checkpoints as C
+
+    cfg, fb, model, state = setup
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    path = str(tmp_path / "weights.npz")
+    C.export_npz(path, variables, epoch=5)
+
+    ckpt_dir = str(tmp_path / "ckpt_new")
+    _, st = L.fit(cfg, [fb], lambda: [], n_epochs=6,
+                  log_dir=str(tmp_path / "runs"), ckpt_dir=ckpt_dir,
+                  resume=True, init_from=path)
+    # started at epoch 5 -> ran exactly 1 epoch; checkpoint saved as epoch 6
+    assert C.latest_epoch(ckpt_dir) == 6
+    restored, ep = C.restore_params(ckpt_dir)
+    assert ep == 6
+    # params moved off the warm-start values (a real update happened) —
+    # compare against the npz-restored (fp16-rounded) values, not the
+    # original fp32 tree, so rounding can't masquerade as an update
+    warm, _ = C.restore_params(path)
+    flat_0 = C._flatten({"params": warm["params"]})
+    flat_r = C._flatten({"params": restored["params"]})
+    assert set(flat_0) == set(flat_r)
+    changed = any(
+        not np.array_equal(np.asarray(flat_0[k], np.float32),
+                           np.asarray(flat_r[k], np.float32))
+        for k in flat_0)
+    assert changed

@@ -28,6 +28,11 @@ def main():
     ap.add_argument("--ckpt-dir", default="ckpts/3dvnet")
     ap.add_argument("--log-dir", default="runs/3dvnet")
     ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--init-from", default=None,
+                    help="warm-start params from an orbax ckpt dir or a "
+                         ".npz weights file when --ckpt-dir has no "
+                         "checkpoint yet (continue a shipped checkpoint "
+                         "into a fresh run directory)")
     ap.add_argument("--batch-scenes", type=int, default=2)
     ap.add_argument("--steps-per-epoch", type=int, default=None,
                     help="cap batches per epoch")
@@ -105,7 +110,8 @@ def main():
                              workers=cfg.train.loader_workers,
                              steps_per_epoch=args.steps_per_epoch)
     fit(cfg, loader, val_batches, args.epochs,
-        log_dir=args.log_dir, ckpt_dir=args.ckpt_dir, resume=args.resume)
+        log_dir=args.log_dir, ckpt_dir=args.ckpt_dir, resume=args.resume,
+        init_from=args.init_from)
 
 
 if __name__ == "__main__":
