@@ -29,4 +29,9 @@ def eval_point_clouds(pts_pred: np.ndarray, pts_gt: np.ndarray,
         "prec": precision,
         "recal": recall,          # reference spelling, kept for parity
         "fscore": fscore,
+        # point counts so a 0.000 score from an EMPTY prediction cloud is
+        # distinguishable from a real zero (VERDICT r3 "failure-illiterate
+        # comparison table"); extra keys, reference metrics unchanged
+        "n_pred_points": int(pts_pred.shape[0]),
+        "n_gt_points": int(pts_gt.shape[0]),
     }

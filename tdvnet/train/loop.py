@@ -35,11 +35,16 @@ class TrainState(train_state.TrainState):
 
 
 def make_lr_schedule(lr: float, lr_step_epochs: int, gamma: float,
-                     steps_per_epoch: int):
-    """StepLR: lr * gamma^(epoch // lr_step) as an optax schedule."""
+                     steps_per_epoch: int, step_offset: int = 0):
+    """StepLR: lr * gamma^(epoch // lr_step) as an optax schedule.
+
+    step_offset shifts the schedule for params-only warm starts, where the
+    optimizer (and its internal step counter) is reinitialized to 0 but the
+    run logically continues from a later epoch (ADVICE r3: without the
+    offset, a warm-started epoch-N run restarts at the epoch-0 lr)."""
 
     def sched(step):
-        epoch = step // max(steps_per_epoch, 1)
+        epoch = (step + step_offset) // max(steps_per_epoch, 1)
         return lr * gamma ** (epoch // lr_step_epochs)
 
     return sched
@@ -58,6 +63,33 @@ def _backbone_bn_labels(params) -> Any:
         return "frozen" if (in_backbone and is_bn) else "train"
 
     return walk(params, ())
+
+
+def make_tx(cfg: Config, params, steps_per_epoch: int,
+            start_epoch: int = 0) -> optax.GradientTransformation:
+    """The training optimizer chain; `start_epoch` offsets the StepLR
+    schedule for params-only warm starts (the optax step counter starts at
+    0 in a fresh optimizer, so the schedule must be shifted to stay
+    consistent with the original run)."""
+    t = cfg.train
+    lr = t.finetune_lr if t.finetune else t.lr
+    step_e = t.finetune_lr_step if t.finetune else t.lr_step
+    gamma = t.finetune_lr_gamma if t.finetune else t.lr_gamma
+    # MultiSteps only advances the inner optimizer (and its schedule
+    # counter) once per grad_accum_steps microbatches
+    updates_per_epoch = -(-steps_per_epoch // max(t.grad_accum_steps, 1))
+    sched = make_lr_schedule(lr, step_e, gamma, updates_per_epoch,
+                             step_offset=start_epoch * updates_per_epoch)
+    tx = optax.adam(sched)
+    if not t.finetune:
+        tx = optax.multi_transform(
+            {"train": tx, "frozen": optax.set_to_zero()},
+            _backbone_bn_labels(params))
+    if t.grad_accum_steps > 1:
+        # microbatching: params update every grad_accum_steps steps with
+        # the averaged gradient (SURVEY §2.4 grad-accumulation row)
+        tx = optax.MultiSteps(tx, every_k_schedule=t.grad_accum_steps)
+    return tx
 
 
 def create_state(cfg: Config, rng, batch: FrameBatch,
@@ -79,24 +111,7 @@ def create_state(cfg: Config, rng, batch: FrameBatch,
     params = variables["params"]
     batch_stats = variables.get("batch_stats", core.FrozenDict())
 
-    t = cfg.train
-    lr = t.finetune_lr if t.finetune else t.lr
-    step_e = t.finetune_lr_step if t.finetune else t.lr_step
-    gamma = t.finetune_lr_gamma if t.finetune else t.lr_gamma
-    # MultiSteps only advances the inner optimizer (and its schedule
-    # counter) once per grad_accum_steps microbatches
-    updates_per_epoch = -(-steps_per_epoch // max(t.grad_accum_steps, 1))
-    sched = make_lr_schedule(lr, step_e, gamma, updates_per_epoch)
-    tx = optax.adam(sched)
-    if not t.finetune:
-        tx = optax.multi_transform(
-            {"train": tx, "frozen": optax.set_to_zero()},
-            _backbone_bn_labels(params))
-    if t.grad_accum_steps > 1:
-        # microbatching: params update every grad_accum_steps steps with
-        # the averaged gradient (SURVEY §2.4 grad-accumulation row)
-        tx = optax.MultiSteps(tx, every_k_schedule=t.grad_accum_steps)
-
+    tx = make_tx(cfg, params, steps_per_epoch)
     state = TrainState.create(apply_fn=model.apply, params=params, tx=tx,
                               batch_stats=batch_stats)
     return model, state
@@ -199,10 +214,23 @@ class MetricsLogger:
             self.tb.close()
 
 
+def _warm_start(cfg: Config, state: TrainState, raw: dict, epoch: int,
+                steps_per_epoch: int) -> TrainState:
+    """Params/batch_stats warm start with a schedule-consistent fresh
+    optimizer: rebuilds tx with the StepLR schedule offset to `epoch` so
+    the continued run sees the decayed lr, not gamma^0 (ADVICE r3)."""
+    params = raw["params"]
+    tx = make_tx(cfg, params, steps_per_epoch, start_epoch=epoch)
+    return TrainState.create(
+        apply_fn=state.apply_fn, params=params, tx=tx,
+        batch_stats=raw.get("batch_stats", state.batch_stats))
+
+
 def fit(cfg: Config, train_batches, val_batches: Callable[[], Iterable],
         n_epochs: int, log_dir: str = "runs/tdvnet",
         ckpt_dir: Optional[str] = None, resume: bool = False,
-        init_from: Optional[str] = None):
+        init_from: Optional[str] = None,
+        export_npz: Optional[str] = None, export_every: int = 4):
     """Epoch loop.
 
     train_batches: either a `StreamingLoader`-like object (has `.epoch(e)`
@@ -213,9 +241,15 @@ def fit(cfg: Config, train_batches, val_batches: Callable[[], Iterable],
     init_from: params/batch_stats warm start (an orbax ckpt dir or a
     committable `.npz` from `tools/export_weights.py`) used when `ckpt_dir`
     holds no resumable checkpoint — continue training from shipped weights
-    into a fresh checkpoint directory (optimizer state reinitialized, epoch
-    counter continues from the source's epoch so lr/λ/n_iters schedules
-    stay consistent with the original run).
+    into a fresh checkpoint directory.  The optimizer is rebuilt with the
+    StepLR schedule offset to the source epoch, so lr/λ/n_iters schedules
+    all stay consistent with the original run.
+
+    export_npz: also write a committable single-file `.npz` snapshot of
+    params/batch_stats to this path every `export_every` epochs (atomic
+    replace).  Orbax dirs are scratch-resident and gitignored — round 2
+    lost a 165-epoch run to a scratch wipe; with the in-loop export a wipe
+    loses at most `export_every` epochs (VERDICT r3 #8).
     """
     from tdvnet.train import checkpoints as ckpt_lib
 
@@ -244,24 +278,29 @@ def fit(cfg: Config, train_batches, val_batches: Callable[[], Iterable],
             pr = ckpt_lib.restore_params(ckpt_dir)
             if pr is not None:
                 raw, ep = pr
-                state = state.replace(
-                    params=raw["params"],
-                    batch_stats=raw.get("batch_stats", state.batch_stats))
+                state = _warm_start(cfg, state, raw, ep, steps_per_epoch)
                 start_epoch = ep
                 print(f"[fit] params-only warm start from epoch {ep} "
-                      "(optimizer state reinitialized)", flush=True)
+                      "(fresh optimizer, lr schedule offset to epoch "
+                      f"{ep})", flush=True)
         if restored is not None:
             state, start_epoch = restored
     if start_epoch == 0 and init_from is not None:
         pr = ckpt_lib.restore_params(init_from)
-        assert pr is not None, f"--init-from {init_from}: nothing restorable"
+        if pr is None:
+            raise FileNotFoundError(
+                f"--init-from {init_from}: nothing restorable")
         raw, ep = pr
-        state = state.replace(
-            params=raw["params"],
-            batch_stats=raw.get("batch_stats", state.batch_stats))
+        state = _warm_start(cfg, state, raw, ep, steps_per_epoch)
         start_epoch = ep
-        print(f"[fit] warm start from {init_from} (epoch {ep}, optimizer "
-              "state reinitialized)", flush=True)
+        print(f"[fit] warm start from {init_from} (epoch {ep}, fresh "
+              f"optimizer, lr schedule offset to epoch {ep})", flush=True)
+    if start_epoch >= n_epochs:
+        # a misconfigured continuation (e.g. --init-from an epoch-300 npz
+        # with --epochs 100) must fail loudly, not silently train 0 epochs
+        raise ValueError(
+            f"start_epoch {start_epoch} >= n_epochs {n_epochs}: nothing to "
+            f"train — raise --epochs past the warm-start epoch")
 
     logger = MetricsLogger(log_dir, cfg.train.use_tensorboard)
     step_fns = {}
@@ -279,6 +318,13 @@ def fit(cfg: Config, train_batches, val_batches: Callable[[], Iterable],
             gstep += 1
         if ckpt_dir is not None and (epoch + 1) % cfg.train.ckpt_every_epochs == 0:
             ckpt_lib.save(ckpt_dir, state, epoch + 1, cfg)
+        if export_npz is not None and (epoch + 1) % export_every == 0:
+            tmp = export_npz + ".tmp.npz"
+            ckpt_lib.export_npz(
+                tmp, {"params": jax.device_get(state.params),
+                      "batch_stats": jax.device_get(state.batch_stats)},
+                epoch=epoch + 1)
+            os.replace(tmp, export_npz)
         # validation — a transient backend failure (e.g. a remote-compile
         # hiccup) must not kill a long training run; the checkpoint above
         # is already on disk (SURVEY §5.3: restartability over crashing)

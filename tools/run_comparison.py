@@ -402,6 +402,10 @@ def main():
                     help="tiny shapes + CPU platform: shake out the "
                          "pipeline without touching the TPU")
     ap.add_argument("--train-steps", type=int, default=None)
+    ap.add_argument("--retries", type=int, default=2,
+                    help="per-method retries on transient tunnel errors")
+    ap.add_argument("--overwrite", action="store_true",
+                    help="ignore cached rows.json method results")
     args = ap.parse_args()
 
     if args.quick:
@@ -435,21 +439,49 @@ def main():
 
     train_views = train_scene_batches(train_dirs, N_VIEWS)
 
+    # resumable: completed method rows are cached in rows.json, so a re-run
+    # after a tunnel failure only recomputes the missing/failed methods
+    # (the harness additionally caches per-scene preds.npz)
+    rows_path = os.path.join(args.workdir, "rows.json")
     rows = {}
+    if os.path.exists(rows_path) and not args.overwrite:
+        with open(rows_path) as f:
+            rows = {k: v for k, v in json.load(f).items()
+                    if "error" not in v}
+        if rows:
+            print(f"resuming: cached rows for {sorted(rows)}")
+
+    def _is_transient(e: Exception) -> bool:
+        s = str(e)
+        return ("HTTP 5" in s or "INTERNAL" in s or "UNAVAILABLE" in s
+                or "DEADLINE_EXCEEDED" in s)
+
     for name in args.methods.split(","):
+        if name in rows:
+            print(f"===== {name} ===== (cached)")
+            continue
         cfg = eval_cfg(args.workdir)
         print(f"===== {name} =====")
-        try:
-            pred_fn, is_depth = METHODS[name](args, train_views, cfg)
-            avg = harness.main(name, pred_fn, cfg, depth=is_depth,
-                               scenes=eval_dirs)
-            rows[name] = avg
-        except Exception as e:                              # noqa: BLE001
-            import traceback
+        # the remote-TPU tunnel throws transient HTTP 5xx (the round-3
+        # dvmvs row died on one); retry those per method
+        for attempt in range(args.retries + 1):
+            try:
+                pred_fn, is_depth = METHODS[name](args, train_views, cfg)
+                avg = harness.main(name, pred_fn, cfg, depth=is_depth,
+                                   scenes=eval_dirs)
+                rows[name] = avg
+                break
+            except Exception as e:                          # noqa: BLE001
+                import traceback
 
-            traceback.print_exc()
-            rows[name] = {"error": str(e)[:200]}
-        with open(os.path.join(args.workdir, "rows.json"), "w") as f:
+                traceback.print_exc()
+                if _is_transient(e) and attempt < args.retries:
+                    print(f"[{name}] transient backend error, retry "
+                          f"{attempt + 1}/{args.retries}")
+                    continue
+                rows[name] = {"error": str(e)[:200]}
+                break
+        with open(rows_path, "w") as f:
             json.dump(rows, f, indent=1, default=float)
 
     keys2d = ["abs_rel", "abs_diff", "rmse", "d_125"]
@@ -488,11 +520,25 @@ def main():
                         + f" | failed: {avg['error'][:60]} |\n")
                 continue
             fm = flat(avg)
+            # an empty prediction (empty mesh / all-invalid depths) must
+            # not render as a numeric 0.000 row: round 3's neuralrecon row
+            # was all zeros with no way to tell failure from score
+            empty2d = fm.get("perc_valid", 1.0) < 1e-6
+            empty3d = fm.get("n_pred_points", 1) < 1
             cells = []
             for k in keys2d + keys3d:
                 v = fm.get(k)
-                cells.append("-" if v is None else f"{v:.3f}")
+                if v is None:
+                    cells.append("-")
+                elif (empty2d and k in keys2d) or (empty3d and k in keys3d):
+                    cells.append("empty")
+                else:
+                    cells.append(f"{v:.3f}")
             f.write(f"| {name} | " + " | ".join(mcells + cells) + " |\n")
+            if empty2d or empty3d:
+                print(f"[{name}] WARNING: empty prediction "
+                      f"(perc_valid={fm.get('perc_valid')}, "
+                      f"n_pred_points={fm.get('n_pred_points')})")
     print(f"wrote {args.out}")
 
     # interactive side-by-side viewer (reference `mv3d/eval/visualizer.py`)
