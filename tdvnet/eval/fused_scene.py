@@ -26,6 +26,7 @@ halve the download.
 """
 from __future__ import annotations
 
+import functools
 import time
 from typing import Dict, List, Optional, Sequence, Tuple
 
@@ -490,3 +491,150 @@ class FusedSceneInference:
             prev = st
         if prev is not None:
             yield self._fetch(prev)
+
+
+class FusedSceneInferenceDP:
+    """DP-over-scenes fused whole-scene eval: one scene per device.
+
+    The realistic multi-chip eval win (VERDICT r3 #6): the reference is
+    single-GPU (`mv3d/config.py:3-5`), so its multi-device story is "run
+    more processes"; here a group of S = mesh-size scenes runs as ONE
+    SPMD program — every per-scene array carries a leading scene axis
+    sharded over the mesh, computation is scene-independent (no
+    collectives), and XLA partitions each scene onto its device.  Keeps
+    the two-dispatch structure of `FusedSceneInference` (prep → bbox
+    fetch → refine), with one static grid per GROUP (the max bucketed
+    extent over the group's scenes — same compiled program on every
+    device).
+
+    For scene volumes bigger than one chip's HBM use
+    `SceneInference(mesh=...)` (halo-sharded U-Net) instead: DP-fused
+    trades per-scene sharding for zero cross-device traffic.
+    """
+
+    def __init__(self, model: ThreeDVNet, variables, cfg: Config, mesh,
+                 axis: str = "data",
+                 offsets_list: Sequence[Sequence[float]] = ((0.05, 0.05, 0.025),
+                                                           (0.05, 0.05, 0.025)),
+                 fetch_mm: bool = True):
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        self.inner = FusedSceneInference(model, variables, cfg,
+                                         offsets_list=offsets_list,
+                                         fetch_mm=fetch_mm)
+        self.mesh = mesh
+        self.axis = axis
+        self.n_dev = int(np.prod(mesh.devices.shape))
+        self.fetch_mm = fetch_mm
+        self._scene_sh = NamedSharding(mesh, PartitionSpec(axis))
+        self._repl_sh = NamedSharding(mesh, PartitionSpec())
+
+        inner = self.inner
+
+        def prep_dp(variables, images, rgb_scale, rgb_mean, rgb_std,
+                    rot, tv, Ks, n_refs, u8: bool, n_chunks: int):
+            f = functools.partial(inner._prep_impl, u8=u8,
+                                  n_chunks=n_chunks)
+            return jax.vmap(
+                lambda im, r, t, K, nr: f(variables, im, rgb_scale,
+                                          rgb_mean, rgb_std, r, t, K, nr)
+            )(images, rot, tv, Ks, n_refs)
+
+        def refine_dp(variables, imgs, feats_half, feats_quarter,
+                      rot, tv, Ks, depth_all, n_refs,
+                      grid_cfg: GridConfig, n_chunks: int):
+            f = functools.partial(inner._refine_impl, grid_cfg=grid_cfg,
+                                  n_chunks=n_chunks)
+            return jax.vmap(
+                lambda im, fh, fq, r, t, K, d, nr: f(
+                    variables, im, fh, fq, r, t, K, d, nr)
+            )(imgs, feats_half, feats_quarter, rot, tv, Ks, depth_all,
+              n_refs)
+
+        self._prep_dp = jax.jit(prep_dp,
+                                static_argnames=("u8", "n_chunks"))
+        self._refine_dp = jax.jit(refine_dp,
+                                  static_argnames=("grid_cfg", "n_chunks"))
+        self.last_scene_stats: Dict = {}
+
+    def _pad_group(self, group: List[Dict]):
+        """Pad every scene in the group to a common ref-bucket and stack
+        with a leading scene axis."""
+        e = self.inner.cfg.eval
+        k = e.n_src_on_either_side
+        CH = self.inner.chunk
+        u8 = "images_u8" in group[0]
+        key = "images_u8" if u8 else "images"
+        Rs = [v[key].shape[0] - 2 * k for v in group]
+        n_chunks = max(-(-r // CH) for r in Rs)
+        Nb = n_chunks * CH + 2 * k
+
+        def pad_to(a, n):
+            a = np.asarray(a)
+            if a.shape[0] < n:
+                a = np.concatenate(
+                    [a, np.repeat(a[-1:], n - a.shape[0], axis=0)], 0)
+            return a
+
+        images = np.stack([pad_to(v[key], Nb) for v in group])
+        rot = np.stack([pad_to(v["rotmats"], Nb) for v in group]) \
+            .astype(np.float32)
+        tv = np.stack([pad_to(v["tvecs"], Nb) for v in group]) \
+            .astype(np.float32)
+        Ks = np.stack([pad_to(v["K"], Nb) for v in group]) \
+            .astype(np.float32)
+        if u8:
+            rgb = (np.float32(group[0].get("rgb_scale", 255.0)),
+                   np.asarray(group[0]["rgb_mean"], np.float32),
+                   np.asarray(group[0]["rgb_std"], np.float32))
+        else:
+            rgb = (np.float32(1.0), np.zeros((3,), np.float32),
+                   np.ones((3,), np.float32))
+        return (images, rot, tv, Ks, np.asarray(Rs, np.int32), u8,
+                n_chunks, rgb)
+
+    def predict_group(self, group: List[Dict]) -> List[np.ndarray]:
+        """Run len(group) <= n_dev scenes as one SPMD program.
+
+        Returns a list of [R_i, H, W] float32 depth maps.
+        """
+        n_real = len(group)
+        assert n_real >= 1
+        group = list(group) + [group[-1]] * (self.n_dev - n_real)
+        images, rot, tv, Ks, Rs, u8, n_chunks, rgb = self._pad_group(group)
+
+        put = lambda a: jax.device_put(a, self._scene_sh)
+        prep_out = self._prep_dp(
+            self.inner.variables, put(images), rgb[0], rgb[1], rgb[2],
+            put(rot), put(tv), put(Ks), put(Rs), u8=u8, n_chunks=n_chunks)
+        imgs_d, fh, fq, depth_all, bbox = prep_out
+        bbox_np = np.asarray(bbox)                   # [S, 2, 3] small fetch
+        # ONE static grid for the group: max bucketed extent over scenes
+        ext = (bbox_np[:, 1] - bbox_np[:, 0])
+        ext = np.where(np.isfinite(ext) & (ext > 0), ext, 0.0).max(0)
+        gc = self.inner._grid_from_extent(ext)
+
+        out, stats = self._refine_dp(
+            self.inner.variables, imgs_d, fh, fq, put(rot), put(tv),
+            put(Ks), depth_all, put(Rs), grid_cfg=gc, n_chunks=n_chunks)
+        out_np = np.asarray(out)
+        self.last_scene_stats = {sk: int(np.sum(sv[:n_real]))
+                                 for sk, sv in stats.items()}
+        res = []
+        for i in range(n_real):
+            d = out_np[i, :int(Rs[i])]
+            if self.fetch_mm:
+                d = d.astype(np.float32) * 1e-3
+            res.append(d)
+        return res
+
+    def predict_scenes(self, scene_iter):
+        """Group scenes n_dev at a time and yield per-scene depths."""
+        group = []
+        for views in scene_iter:
+            group.append(views)
+            if len(group) == self.n_dev:
+                yield from self.predict_group(group)
+                group = []
+        if group:
+            yield from self.predict_group(group)

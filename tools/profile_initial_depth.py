@@ -1,0 +1,167 @@
+"""Sub-stage TPU profiling of eval stage B (initial depth) and stage C
+(scene U-Net) — the two stages docs/ROOFLINE.md concedes are far off
+their floors (B: 98 ms vs ~15 ms; C: 70 ms vs ~15 ms).
+
+Splits stage B into its three sub-ops at the real eval chunk shapes
+(18 refs / 22 imgs, 96 planes, 56x56, 32-ch bf16 features):
+
+  B1 plane_sweep_cost_volume   (two-pass matmul warp + variance)
+  B2 CostRegNet                (3-level 3D U-Net regularizer)
+  B3 softmax + expectation     (depth regression epilogue)
+  B  full predict_depth        (B1+B2+B3 fused in one jit)
+
+and stage C into:
+
+  C1 SceneUNet                 (masked dense U-Net, 112x112x48)
+  C  full model_scene
+
+Chain-marginal timing (see bench.py): K iterations inside one jit,
+marginal time = (t(K)-t(1))/(K-1), cancels the tunnel roundtrip.
+
+Run (TPU idle):  python tools/profile_initial_depth.py
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+K_CHAIN = 6
+REPS = 3
+
+
+def measure_roundtrip():
+    f = jax.jit(lambda x: x * 2.0).lower(jnp.float32(1.0)).compile()
+    float(f(jnp.float32(1.0)))
+    ts = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        float(f(jnp.float32(1.0)))
+        ts.append(time.perf_counter() - t0)
+    return float(np.median(ts))
+
+
+def time_chained(name, step_fn, t_rt, k=K_CHAIN):
+    @jax.jit
+    def chain(eps):
+        def body(e, _):
+            return step_fn(e) * 1e-20, None
+        e, _ = jax.lax.scan(body, eps, None, length=k)
+        return e
+
+    t0 = time.perf_counter()
+    c = chain.lower(jnp.float32(0.0)).compile()
+    t_compile = time.perf_counter() - t0
+    ca = c.cost_analysis()
+    if isinstance(ca, list):
+        ca = ca[0]
+    fl = float(ca.get("flops", 0.0) or 0.0) / k
+    float(c(jnp.float32(0.0)))
+    ts = []
+    for _ in range(REPS):
+        t0 = time.perf_counter()
+        float(c(jnp.float32(0.0)))
+        ts.append(time.perf_counter() - t0)
+    t = (float(np.median(ts)) - t_rt) / k
+    tf = fl / max(t, 1e-9) / 1e12
+    print(f"{name:<40s} {t*1e3:9.2f} ms  {fl/1e9:8.1f} GFLOP  "
+          f"{tf:6.1f} TF/s  (compile {t_compile:.0f}s)", flush=True)
+    return t
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--refs", type=int, default=18)
+    ap.add_argument("--planes", type=int, default=96)
+    ap.add_argument("--grid", type=int, nargs=3, default=(112, 112, 48))
+    ap.add_argument("--skip-c", action="store_true")
+    args = ap.parse_args()
+
+    from tdvnet.config import load_config
+    from tdvnet.models.mvsnet import CostRegNet
+    from tdvnet.models.scene_unet import SceneUNet
+    from tdvnet.ops import costvolume
+
+    cfg = load_config({})
+    mc = cfg.model
+    R = args.refs
+    k = 2
+    N = R + 2 * k
+    D = args.planes
+    h, w = mc.depth_test.size          # 56x56
+    C = mc.feat_dim                    # 32
+    dt = jnp.bfloat16
+
+    t_rt = measure_roundtrip()
+    print(f"tunnel roundtrip: {t_rt*1e3:.1f} ms", flush=True)
+
+    # synthetic-but-plausible cameras: ring of N views looking at origin
+    rng = np.random.RandomState(0)
+    ths = np.linspace(0, 0.8, N)
+    rot, tv = [], []
+    for th in ths:
+        c_, s_ = np.cos(th), np.sin(th)
+        Rm = np.array([[c_, 0, s_], [0, 1, 0], [-s_, 0, c_]], np.float32)
+        rot.append(Rm)
+        tv.append(np.array([0.1 * th, 0, 2.0], np.float32))
+    rot = jnp.asarray(np.stack(rot))
+    tv = jnp.asarray(np.stack(tv))
+    Km = np.array([[80., 0, 40], [0, 80., 28], [0, 0, 1]], np.float32)
+    Ks = jnp.asarray(np.tile(Km, (N, 1, 1)))
+    ref_idx = jnp.arange(R, dtype=jnp.int32) + k
+    src_idx = jnp.clip(ref_idx[:, None]
+                       + jnp.arange(-k, k + 1, dtype=jnp.int32)[None],
+                       0, N - 1)
+    src_mask = jnp.ones((R, 2 * k + 1), bool)
+    feats = jnp.asarray(rng.randn(N, 64, 80, C), dt)
+
+    wdt = dt
+
+    def b1(eps):
+        var = costvolume.plane_sweep_cost_volume(
+            feats + eps.astype(dt), rot, tv, Ks, ref_idx, src_idx, src_mask,
+            0.5, 0.05, D, mc.img_size, (h, w), mode="auto",
+            alpha_max=0.25, weights_dtype=wdt)
+        return var.astype(jnp.float32).mean()
+    time_chained(f"B1 cost_volume({R}r,{D}d,{h}x{w})", b1, t_rt)
+
+    reg = CostRegNet(mc.cost_base_channels, dtype=dt)
+    var0 = jnp.asarray(rng.randn(R, D, h, w, C), dt)
+    vreg = reg.init(jax.random.PRNGKey(0), var0, False)
+
+    def b2(eps):
+        return reg.apply(vreg, var0 + eps.astype(dt),
+                         False)[..., 0].astype(jnp.float32).mean()
+    time_chained(f"B2 CostRegNet({R}x{D}x{h}x{w}x{C})", b2, t_rt)
+
+    cost0 = jnp.asarray(rng.randn(R, D, h, w), jnp.float32)
+    dvals = jnp.linspace(0.5, 0.5 + 0.05 * (D - 1), D, dtype=jnp.float32)
+
+    def b3(eps):
+        prob = jax.nn.softmax(-(cost0 + eps), axis=1)
+        return jnp.sum(prob * dvals[None, :, None, None], axis=1).mean()
+    time_chained("B3 softmax+expectation", b3, t_rt)
+
+    if not args.skip_c:
+        X, Y, Z = args.grid
+        unet = SceneUNet(mc.unet_dims, mc.unet_groups, mc.unet_res, dtype=dt)
+        vox = jnp.asarray(rng.randn(1, X, Y, Z, mc.unet_dims[0]), dt)
+        mask = jnp.asarray(rng.rand(1, X, Y, Z, 1) < 0.12)
+        vu = unet.init(jax.random.PRNGKey(0), vox, mask)
+
+        def c1(eps):
+            scales = unet.apply(vu, vox + eps.astype(dt), mask)
+            return sum(s["grid"].astype(jnp.float32).mean()
+                       for s in scales)
+        time_chained(f"C1 SceneUNet({X}x{Y}x{Z})", c1, t_rt)
+
+
+if __name__ == "__main__":
+    main()
