@@ -168,6 +168,12 @@ class EvalConfig:
     # the cap clips geometry) — VERDICT r1 #9 "no silent caps"
     auto_grid: bool = True
     grid_bucket: int = 16
+    # validated fast path (off = strict parity op mix): int8-quantized
+    # scene-feature tables (halves the gather bytes that set the parity
+    # graph's ~56 f/s ceiling, docs/ROOFLINE.md §4) + a single fine
+    # offset pass in refinement iteration 2.  Acceptance gate: unseen
+    # metrics within noise of the parity path (BASELINE.md).
+    fast_path: bool = False
 
 
 @dataclass(frozen=True)

@@ -20,6 +20,7 @@ from flax import linen as nn
 from tdvnet.ops.sampling import (pack_trilinear_octs,
                                  trilinear_sample_batched,
                                  trilinear_sample_octs_batched,
+                                 trilinear_sample_octs_scaled_batched,
                                  upsample_linear_zeropad)
 
 # oct-packed tables cost 8x the grid's memory; above this budget fall back
@@ -143,8 +144,12 @@ def sample_scales(scales, pts: jnp.ndarray, origins: jnp.ndarray,
             q = q + sc["cell_offset"]
         if sc.get("octs") is not None:              # prepacked (eval path)
             X, Y, Z = sc["dims"]
-            feats.append(trilinear_sample_octs_batched(sc["octs"], q,
-                                                       (X, Y, Z)))
+            if sc.get("oct_scale") is not None:     # int8 fast path
+                feats.append(trilinear_sample_octs_scaled_batched(
+                    sc["octs"], sc["oct_scale"], q, (X, Y, Z)))
+            else:
+                feats.append(trilinear_sample_octs_batched(sc["octs"], q,
+                                                           (X, Y, Z)))
             continue
         g = sc["grid"]
         B, X, Y, Z, C = g.shape

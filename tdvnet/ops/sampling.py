@@ -199,6 +199,66 @@ trilinear_sample_octs_batched = jax.vmap(trilinear_sample_octs,
                                          in_axes=(0, 0, None))
 
 
+def quantize_per_channel_int8(vol: jnp.ndarray):
+    """Symmetric per-channel int8 quantization of a feature volume.
+
+    vol: [..., C] float → (q [..., C] int8, scale [C] f32) with
+    q = round(vol / scale), scale = absmax_c / 127.  Zeros stay exactly
+    zero, so masked-dense inactive-cell semantics are preserved.
+
+    Eval fast path: the pointflow scene-feature gather is bandwidth-bound
+    at the ~78 GB/s XLA gather ceiling (docs/ROOFLINE.md §3) — int8 rows
+    halve the dominant gather bytes vs bf16 for ~0.4% rms feature error.
+    """
+    absmax = jnp.max(jnp.abs(vol.astype(jnp.float32)),
+                     axis=tuple(range(vol.ndim - 1)))
+    scale = jnp.maximum(absmax, 1e-12) / 127.0
+    q = jnp.round(vol.astype(jnp.float32) / scale).astype(jnp.int8)
+    return q, scale
+
+
+def trilinear_sample_octs_scaled(octs: jnp.ndarray, scale: jnp.ndarray,
+                                 q: jnp.ndarray, vol_xyz,
+                                 out_dtype=jnp.bfloat16) -> jnp.ndarray:
+    """`trilinear_sample_octs` over an int8-quantized oct table.
+
+    octs: [(X+1)(Y+1)(Z+1), 8C] int8; scale: [C] f32 per-channel dequant.
+    Interpolates in `out_dtype` and dequantizes ONCE after the weighted
+    sum (the 8 octs of a channel share its scale, and interpolation is
+    linear, so post-scaling is exact).
+    """
+    X, Y, Z = vol_xyz
+    C = octs.shape[-1] // 8
+    q0f = jnp.floor(q)
+    q0 = q0f.astype(jnp.int32)
+    w = (q - q0f).astype(jnp.float32)
+    inb = ((q0[:, 0] >= -1) & (q0[:, 0] <= X - 1)
+           & (q0[:, 1] >= -1) & (q0[:, 1] <= Y - 1)
+           & (q0[:, 2] >= -1) & (q0[:, 2] <= Z - 1))
+    xi = jnp.clip(q0[:, 0] + 1, 0, X)
+    yi = jnp.clip(q0[:, 1] + 1, 0, Y)
+    zi = jnp.clip(q0[:, 2] + 1, 0, Z)
+    rows = jnp.take(octs, (xi * (Y + 1) + yi) * (Z + 1) + zi, axis=0) \
+        .astype(out_dtype)
+    out = jnp.zeros((q.shape[0], C), out_dtype)
+    i = 0
+    for dx in (0, 1):
+        for dy in (0, 1):
+            for dz in (0, 1):
+                wgt = (jnp.where(dx, w[:, 0], 1 - w[:, 0])
+                       * jnp.where(dy, w[:, 1], 1 - w[:, 1])
+                       * jnp.where(dz, w[:, 2], 1 - w[:, 2]))
+                out = out + rows[:, i * C:(i + 1) * C] \
+                    * wgt[:, None].astype(out_dtype)
+                i += 1
+    out = out * (scale[None, :].astype(out_dtype))
+    return out * inb[:, None].astype(out.dtype)
+
+
+trilinear_sample_octs_scaled_batched = jax.vmap(
+    trilinear_sample_octs_scaled, in_axes=(0, 0, 0, None))
+
+
 def _up2_axis_zeropad(vol: jnp.ndarray, axis: int, out_len: int) -> jnp.ndarray:
     """Exact 2x linear upsampling along one axis with zero-pad semantics.
 

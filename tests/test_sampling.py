@@ -200,3 +200,84 @@ def test_combine_scales_matches_per_scale_sampling():
            {"grid": jnp.zeros((1, 13, 10, 7, 2)), "stride": 1}]
     out = combine_scales(bad)
     assert len(out) == 2 and out[0]["grid"].shape == (1, 4, 3, 2, 2)
+
+
+def test_int8_oct_sampling_close_to_float(rng):
+    """Fast-path int8-quantized oct table: per-channel symmetric
+    quantization keeps sampling error under ~1% of the feature scale and
+    preserves exact zeros (masked-dense inactive cells)."""
+    import jax
+    import jax.numpy as jnp
+
+    from tdvnet.ops.sampling import (pack_trilinear_octs,
+                                     quantize_per_channel_int8,
+                                     trilinear_sample_octs,
+                                     trilinear_sample_octs_scaled)
+
+    X, Y, Z, C = 12, 10, 8, 16
+    vol = rng.normal(size=(X, Y, Z, C)).astype(np.float32)
+    vol[2:4] = 0.0                                   # inactive slab
+    vol = jnp.asarray(vol)
+    q = jnp.asarray((rng.uniform(-1.5, 1.5, size=(3000, 3))
+                     * np.array([X, Y, Z]) * 0.6).astype(np.float32))
+
+    ref = np.asarray(trilinear_sample_octs(pack_trilinear_octs(vol), q,
+                                           (X, Y, Z)))
+    vq, scale = quantize_per_channel_int8(vol)
+    got = np.asarray(trilinear_sample_octs_scaled(
+        pack_trilinear_octs(vq), scale, q, (X, Y, Z),
+        out_dtype=jnp.float32))
+    err = np.abs(got - ref)
+    assert err.max() < 0.02 * np.abs(vol).max()
+    # queries fully inside the zero slab stay exactly zero
+    q0 = jnp.asarray(np.stack([np.full(50, 2.4), rng.uniform(1, 8, 50),
+                               rng.uniform(1, 6, 50)], -1)
+                     .astype(np.float32))
+    z = np.asarray(trilinear_sample_octs_scaled(
+        pack_trilinear_octs(vq), scale, q0, (X, Y, Z),
+        out_dtype=jnp.float32))
+    assert np.all(z == 0.0)
+
+
+def test_fast_path_fused_scene_close_to_parity():
+    """fast_path=True (int8 tables + single fine pass in iter 2) must
+    track the parity driver on a tiny scene — the cheap CPU gate for the
+    TPU fast-path acceptance run."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from tdvnet.config import tiny_test_config
+    from tdvnet.data import batch as B, synthetic
+    from tdvnet.eval.fused_scene import FusedSceneInference
+    from tdvnet.models.threedvnet import ThreeDVNet
+
+    cfg = tiny_test_config()
+    cfg = dataclasses.replace(cfg, eval=dataclasses.replace(
+        cfg.eval, eval_grid_size=(16, 16, 16), eval_max_anchors=4096,
+        n_src_on_either_side=1, fused_chunk=4, grid_bucket=8))
+    bc = cfg.batch
+    views = synthetic.make_scene(n_views=6, img_size=bc.img_size, seed=3)
+    model = ThreeDVNet(cfg.model)
+    fb = B.collate_scenes(
+        [synthetic.make_batch_scene(bc.n_views, bc.img_size,
+                                    bc.depth_img_size, seed=0)],
+        bc.n_views, bc.n_ref, bc.n_src_on_either_side)
+    variables = jax.jit(lambda r, b: model.init(
+        r, b, offsets=[0.05], n_iters=1, lam=0.0, train=False))(
+        jax.random.PRNGKey(0), fb)
+
+    offs = ((0.05, 0.025),)
+    par = FusedSceneInference(model, variables, cfg, offsets_list=offs)
+    d_par = par.predict_scene(views)
+    fast = FusedSceneInference(model, variables, cfg, offsets_list=offs,
+                               fast_path=True)
+    assert fast.fast_path
+    d_fast = fast.predict_scene(views)
+    assert d_fast.shape == d_par.shape
+    # int8 table quantization perturbs hypothesis scores slightly; depth
+    # must stay within a small fraction of the offset step
+    diff = np.abs(d_fast - d_par)
+    assert np.median(diff) < 0.01
+    assert diff.mean() < 0.02
