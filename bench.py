@@ -69,6 +69,8 @@ def _flops_of(compiled) -> float:
 
 
 def main():
+    import argparse
+
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -76,6 +78,16 @@ def main():
     from tdvnet.config import load_config
     from tdvnet.data import batch as B, synthetic
     from tdvnet.models.threedvnet import ThreeDVNet
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--fast-path", action="store_true",
+                    help="bench the validated fast path (int8 scene "
+                         "tables + adaptive iter-2 offsets) instead of "
+                         "the strict-parity op mix")
+    ap.add_argument("--skip-train-fwd", action="store_true",
+                    help="skip the training-shape forward measurement "
+                         "(eval-only quick run)")
+    args, _ = ap.parse_known_args()
 
     dev = jax.devices()[0]
     chip = dev.device_kind
@@ -102,6 +114,12 @@ def main():
     print(f"init: {time.perf_counter()-t0:.1f}s", file=sys.stderr)
 
     # ---- graph 2: training-shape forward, marginal chained timing ----
+    if args.skip_train_fwd:
+        t_step = fl_step = fwd_fps = fwd_mfu = None
+        return _eval_bench(args, jax, jnp, np, cfg, model, variables, bc,
+                           chip, peak, peak_fl, t_step, fl_step, fwd_fps,
+                           fwd_mfu)
+
     @functools.partial(jax.jit, static_argnames=("length",))
     def chain(variables, batch, length):
         def body(eps, _):
@@ -157,16 +175,24 @@ def main():
           f"mfu={fwd_mfu if fwd_mfu is None else round(fwd_mfu, 3)}",
           file=sys.stderr)
 
+    _eval_bench(args, jax, jnp, np, cfg, model, variables, bc, chip, peak,
+                peak_fl, t_step, fl_step, fwd_fps, fwd_mfu)
+
+
+def _eval_bench(args, jax, jnp, np, cfg, model, variables, bc, chip, peak,
+                peak_fl, t_step, fl_step, fwd_fps, fwd_mfu):
     # ---- graph 1: whole-scene streaming eval (headline) ----
     # pipelined fused driver: the reference's operating point is a stream
     # of scenes (mv3d/eval/main.py:43); scene i+1's upload/prep overlaps
     # scene i's refine, so steady state measures device compute
+    from tdvnet.data import synthetic
     from tdvnet.eval.fused_scene import FusedSceneInference
 
     views_list = [synthetic.make_scene(n_views=EVAL_N_VIEWS,
                                        img_size=bc.img_size, seed=7 + i)
                   for i in range(EVAL_N_SCENES)]
-    inf = FusedSceneInference(model, variables, cfg, count_flops=True)
+    inf = FusedSceneInference(model, variables, cfg, count_flops=True,
+                              fast_path=args.fast_path)
     t0 = time.perf_counter()
     depth = inf.predict_scene(views_list[0])   # compiles + first run
     print(f"eval-path compile+first run: {time.perf_counter()-t0:.1f}s",
@@ -206,12 +232,15 @@ def main():
     vs_band = [round(eval_fps / (TARGET_MULT * REF_GPU_FP32_PEAK * u
                                  / ref_flops), 3)
                for u in (0.30, 0.08)]
+    pf = ("int8-table 3+1-pass pointflow (fast path)" if args.fast_path
+          else "2x3 pointflow")
     print(json.dumps({
         "metric": "eval_depth_fps_per_chip",
         "value": round(eval_fps, 2),
         "unit": "ref-frames/s, pipelined whole-scene streaming eval "
                 "(5-scene steady state, 48 keyframes @256x320, auto-sized "
-                "scene grid, 2x3 pointflow, 3-stage upsample)",
+                f"scene grid, {pf}, 3-stage upsample)",
+        "fast_path": bool(args.fast_path),
         "vs_baseline": round(eval_fps / (TARGET_MULT * ref_est_fps), 3),
         "chip": chip,
         "peak_bf16_tflops": peak["bf16_tflops"] if peak else None,
@@ -220,9 +249,10 @@ def main():
                            "executables)",
         "eval_scene_seconds": round(t_eval, 3),
         "eval_mfu": None if eval_mfu is None else round(eval_mfu, 4),
-        "train_forward_ms": round(t_step * 1e3, 2),
-        "train_forward_fps": round(fwd_fps, 1),
-        "train_forward_gflop": round(fl_step / 1e9, 1),
+        "train_forward_ms": None if t_step is None else round(t_step * 1e3, 2),
+        "train_forward_fps": None if fwd_fps is None else round(fwd_fps, 1),
+        "train_forward_gflop": None if fl_step is None
+        else round(fl_step / 1e9, 1),
         "train_forward_mfu": None if fwd_mfu is None else round(fwd_mfu, 4),
         "ref_est_fps_3090": round(ref_est_fps, 1),
         "ref_flops_per_frame_gflop": round(ref_flops / 1e9, 2),
