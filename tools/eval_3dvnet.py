@@ -31,6 +31,9 @@ def main():
     ap.add_argument("--max-anchors", type=int, default=None)
     ap.add_argument("--bf16", action="store_true",
                     help="bfloat16 compute (params stay fp32)")
+    ap.add_argument("--fast-path", action="store_true",
+                    help="validated fast path: int8 scene tables + "
+                         "adaptive iter-2 offsets (cfg.eval.fast_path)")
     args = ap.parse_args()
 
     from tdvnet.config import load_config
@@ -39,7 +42,8 @@ def main():
     from tdvnet.train import checkpoints as C
 
     overrides = {"eval": {"dataset_type": args.dataset,
-                          "save_dir": args.save_dir}}
+                          "save_dir": args.save_dir,
+                          "fast_path": args.fast_path}}
     if args.eval_grid:
         overrides["eval"]["eval_grid_size"] = tuple(args.eval_grid)
     if args.max_anchors:

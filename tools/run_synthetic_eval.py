@@ -30,6 +30,12 @@ def main():
     ap.add_argument("--seed-base", type=int, default=0,
                     help="scene seed offset (training caches use seeds "
                          "0..N-1; pick >=100 for unseen eval scenes)")
+    ap.add_argument("--fast-path", action="store_true",
+                    help="validated fast path: int8 scene tables + "
+                         "adaptive iter-2 offsets")
+    ap.add_argument("--name", default=None,
+                    help="results dirname (default: 3dvnet / "
+                         "3dvnet_fast / gt_passthrough)")
     args = ap.parse_args()
 
     from tools.make_synthetic_dataset import make_scene_dir
@@ -53,7 +59,8 @@ def main():
                  "depth_img_size": tuple(args.hw),
                  "pdist": 0.05, "n_src_on_either_side": 2,
                  "eval_grid_size": tuple(args.eval_grid),
-                 "eval_max_anchors": 65536},
+                 "eval_max_anchors": 65536,
+                 "fast_path": args.fast_path},
     })
 
     if args.ckpt_dir:
@@ -78,7 +85,7 @@ def main():
             model, {"params": raw["params"],
                     "batch_stats": raw.get("batch_stats",
                                            state.batch_stats)}, cfg)
-        name = "3dvnet"
+        name = "3dvnet_fast" if args.fast_path else "3dvnet"
     else:
         def pred_fn(views, scene_dir, dset):
             k = dset.k
@@ -86,7 +93,7 @@ def main():
 
         name = "gt_passthrough"
 
-    avg = harness.main(name, pred_fn, cfg, depth=True, scenes=scenes)
+    avg = harness.main(args.name or name, pred_fn, cfg, depth=True, scenes=scenes)
     print(json.dumps(avg, indent=2))
 
 
