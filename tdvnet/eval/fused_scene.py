@@ -511,16 +511,30 @@ class FusedSceneInference:
         approaches pure compute time (the reference's operating point is
         a long stream of scenes, `mv3d/eval/main.py:43`).
         """
+        import concurrent.futures as cf
+
         it = iter(scene_iter)
         prev = None
-        for views in it:
-            st = self._dispatch_prep(views)           # uploads overlap
+        fetch_pool = cf.ThreadPoolExecutor(1)
+        fut = None
+        try:
+            for views in it:
+                st = self._dispatch_prep(views)       # uploads overlap
+                if prev is not None:
+                    # result download on a worker thread: the main thread
+                    # proceeds straight to the bbox fetch + refine dispatch
+                    # for THIS scene, so on a full-duplex tunnel the 8 MB
+                    # download streams while the next dispatch goes up
+                    fut = fetch_pool.submit(self._fetch, prev)
+                self._dispatch_refine(st)
+                if fut is not None:
+                    yield fut.result()
+                    fut = None
+                prev = st
             if prev is not None:
-                yield self._fetch(prev)               # fetch under compute
-            self._dispatch_refine(st)
-            prev = st
-        if prev is not None:
-            yield self._fetch(prev)
+                yield self._fetch(prev)
+        finally:
+            fetch_pool.shutdown(wait=False)
 
 
 class FusedSceneInferenceDP:

@@ -270,3 +270,50 @@ def test_fit_warm_starts_from_npz(setup, tmp_path):
                            np.asarray(flat_r[k], np.float32))
         for k in flat_0)
     assert changed
+
+
+def test_lr_schedule_offset_and_warm_start_guardrails(setup, tmp_path):
+    """ADVICE r3: (a) a params-only warm start must continue the decayed
+    StepLR, not restart at gamma^0; (b) start_epoch >= n_epochs must fail
+    loudly; (c) a bad --init-from path raises, not assert."""
+    import pytest as _pytest
+
+    from tdvnet.train import checkpoints as C
+
+    # (a) schedule offset math
+    sched = L.make_lr_schedule(1e-3, 100, 0.1, steps_per_epoch=10,
+                               step_offset=100 * 10)
+    assert abs(sched(0) - 1e-4) < 1e-12            # already at epoch 100
+
+    cfg, fb, model, state = setup
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    path = str(tmp_path / "w.npz")
+    C.export_npz(path, variables, epoch=7)
+
+    # (b) warm start beyond n_epochs: loud failure, no silent no-op
+    with _pytest.raises(ValueError, match="nothing to train"):
+        L.fit(cfg, [fb], lambda: [], n_epochs=5,
+              log_dir=str(tmp_path / "runs"),
+              ckpt_dir=str(tmp_path / "c1"), init_from=path)
+
+    # (c) missing init_from file raises FileNotFoundError
+    with _pytest.raises(FileNotFoundError):
+        L.fit(cfg, [fb], lambda: [], n_epochs=50,
+              log_dir=str(tmp_path / "runs"),
+              ckpt_dir=str(tmp_path / "c2"),
+              init_from=str(tmp_path / "missing.npz"))
+
+
+def test_fit_exports_npz_snapshots(setup, tmp_path):
+    """fit(export_npz=...) writes a committable snapshot every
+    export_every epochs (checkpoint durability, VERDICT r3 #8)."""
+    from tdvnet.train import checkpoints as C
+
+    cfg, fb, model, state = setup
+    out = str(tmp_path / "snap.npz")
+    L.fit(cfg, [fb], lambda: [], n_epochs=2,
+          log_dir=str(tmp_path / "runs"), ckpt_dir=None,
+          export_npz=out, export_every=2)
+    raw, ep = C.load_npz(out)
+    assert ep == 2
+    assert "params" in raw
