@@ -292,8 +292,13 @@ def make_pred_fn(model: NeuralReconNet, variables,
             g_tsdf[sl] = np.where(upd, tsdf, g_tsdf[sl])
             g_w[sl] = np.maximum(g_w[sl], upd.astype(np.float32))
 
+        n_upd = int((g_w > 0).sum())
         verts, faces = marching.marching_tetrahedra(g_tsdf, 0.0,
                                                     mask=g_w > 0)
+        print(f"  [neuralrecon] updated voxels {n_upd}, "
+              f"mesh verts {len(verts)}"
+              + ("  (occupancy gate never opened — empty prediction)"
+                 if n_upd == 0 else ""))
         verts = verts * voxel_fine + g_lo[None]
         return verts.astype(np.float32), faces
 

@@ -367,15 +367,21 @@ def method_neuralrecon(args, train_views, cfg):
         batches.append((jnp.asarray(v["images"][sel]), jnp.asarray(P[sel]),
                         jnp.asarray(origin), h0, jnp.asarray(gt),
                         jnp.asarray(gtw)))
+    # the occupancy cascade gates every level at sigmoid>0.5 — a
+    # briefly-trained net whose coarse logits sit just below 0 emits an
+    # EMPTY mesh (the round-3/4 all-zero row), so NeuralRecon gets 4x the
+    # brief-train budget; the steps column records it
+    nr_steps = TRAIN_STEPS * 4
     losses = []
-    for it in range(TRAIN_STEPS):
+    for it in range(nr_steps):
         b = batches[it % len(batches)]
         params, stats, opt, loss = step(params, stats, opt, *b)
         if it % 10 == 0:
             losses.append(float(loss))
-    print(f"[neuralrecon] loss {losses[0]:.3f} -> {losses[-1]:.3f}")
+    print(f"[neuralrecon] loss {losses[0]:.3f} -> {losses[-1]:.3f} "
+          f"({nr_steps} steps)")
     vs = {"params": params, "batch_stats": stats}
-    _note_meta("neuralrecon", vs, TRAIN_STEPS)
+    _note_meta("neuralrecon", vs, nr_steps)
     return NR.make_pred_fn(model, vs, voxel_fine=voxel, frag_dim=32), False
 
 
@@ -406,7 +412,15 @@ def main():
                     help="per-method retries on transient tunnel errors")
     ap.add_argument("--overwrite", action="store_true",
                     help="ignore cached rows.json method results")
+    ap.add_argument("--cpu-methods", default="",
+                    help="comma list of methods to run on the host CPU "
+                         "backend (escape hatch for graphs that crash "
+                         "the remote TPU compiler — metrics are "
+                         "platform-independent; round 4: the dvmvs "
+                         "train step reproducibly kills "
+                         "tpu_compile_helper)")
     args = ap.parse_args()
+    cpu_methods = set(m for m in args.cpu_methods.split(",") if m)
 
     if args.quick:
         import jax
@@ -456,20 +470,31 @@ def main():
         return ("HTTP 5" in s or "INTERNAL" in s or "UNAVAILABLE" in s
                 or "DEADLINE_EXCEEDED" in s)
 
+    import contextlib
+
     for name in args.methods.split(","):
         if name in rows:
             print(f"===== {name} ===== (cached)")
+            ROW_META.setdefault(name, rows[name].get("_meta", {}))
             continue
         cfg = eval_cfg(args.workdir)
-        print(f"===== {name} =====")
+        on_cpu = name in cpu_methods
+        print(f"===== {name} =====" + (" (cpu backend)" if on_cpu else ""))
         # the remote-TPU tunnel throws transient HTTP 5xx (the round-3
         # dvmvs row died on one); retry those per method
         for attempt in range(args.retries + 1):
             try:
-                pred_fn, is_depth = METHODS[name](args, train_views, cfg)
-                avg = harness.main(name, pred_fn, cfg, depth=is_depth,
-                                   scenes=eval_dirs)
-                rows[name] = avg
+                import jax
+
+                ctx = (jax.default_device(
+                    jax.local_devices(backend="cpu")[0])
+                    if on_cpu else contextlib.nullcontext())
+                with ctx:
+                    pred_fn, is_depth = METHODS[name](args, train_views,
+                                                      cfg)
+                    avg = harness.main(name, pred_fn, cfg, depth=is_depth,
+                                       scenes=eval_dirs)
+                rows[name] = dict(avg, _meta=ROW_META.get(name, {}))
                 break
             except Exception as e:                          # noqa: BLE001
                 import traceback
@@ -490,8 +515,8 @@ def main():
     def flat(avg):
         # harness.main returns {metrics_file_name: {metric: value}}
         out = {}
-        for m in avg.values():
-            if isinstance(m, dict):
+        for fk, m in avg.items():
+            if fk != "_meta" and isinstance(m, dict):
                 for k, v in m.items():
                     out.setdefault(k, v)
         return out
