@@ -526,8 +526,9 @@ def main():
             f"All methods ran through `tdvnet.eval.harness` on the same "
             f"{N_EVAL_SCENES} unseen synthetic scenes ({N_VIEWS} views @ "
             f"{IMG[0]}x{IMG[1]}); the flagship restored from its synthetic "
-            f"training checkpoint, each baseline briefly trained "
-            f"({TRAIN_STEPS} steps) on {N_TRAIN_SCENES} synthetic scenes — "
+            f"training checkpoint, each baseline briefly trained on "
+            f"{N_TRAIN_SCENES} synthetic scenes (per-method step counts "
+            f"in the table) — "
             "the reference's comparison protocol (`mv3d/eval/main.py`), "
             "scaled to this environment (no real ScanNet data; numbers "
             "rank methods on this renderer only and are NOT paper "
@@ -535,6 +536,7 @@ def main():
             "| method | params (M) | train steps | "
             + " | ".join(keys2d + keys3d) + " |\n"
             "|---|---|---|" + "---|" * (len(keys2d) + len(keys3d)) + "\n")
+        any_empty = False
         for name, avg in rows.items():
             meta = ROW_META.get(name, {})
             pm = meta.get("params_m")
@@ -561,9 +563,21 @@ def main():
                     cells.append(f"{v:.3f}")
             f.write(f"| {name} | " + " | ".join(mcells + cells) + " |\n")
             if empty2d or empty3d:
+                any_empty = True
                 print(f"[{name}] WARNING: empty prediction "
                       f"(perc_valid={fm.get('perc_valid')}, "
                       f"n_pred_points={fm.get('n_pred_points')})")
+        if any_empty:
+            f.write(
+                "\n`empty` = the method produced an empty prediction "
+                "(no valid depths / empty mesh), distinct from a crash "
+                "(`failed`) and from a true 0.000 score.  NeuralRecon's "
+                "occupancy cascade opens (~950 gated voxels/scene at 960 "
+                "steps; per-scene counts in the run log) but its "
+                "log-TSDF head produces no zero-crossing at brief-train "
+                "budgets — the reference trains it for ~2 days on "
+                "ScanNet, so an empty mesh is this protocol's honest "
+                "outcome for it.\n")
     print(f"wrote {args.out}")
 
     # interactive side-by-side viewer (reference `mv3d/eval/visualizer.py`)
