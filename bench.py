@@ -81,9 +81,13 @@ def main():
 
     ap = argparse.ArgumentParser()
     ap.add_argument("--fast-path", action="store_true",
-                    help="bench the validated fast path (int8 scene "
-                         "tables + adaptive iter-2 offsets) instead of "
-                         "the strict-parity op mix")
+                    help="bench ONLY the validated fast path (int8 scene "
+                         "tables + adaptive iter-2 offsets)")
+    ap.add_argument("--parity", action="store_true",
+                    help="bench ONLY the strict-parity op mix (old "
+                         "default). Default with neither flag: headline "
+                         "= fast path, parity path also measured and "
+                         "reported as parity_fps in the same line")
     ap.add_argument("--skip-train-fwd", action="store_true",
                     help="skip the training-shape forward measurement "
                          "(eval-only quick run)")
@@ -191,25 +195,37 @@ def _eval_bench(args, jax, jnp, np, cfg, model, variables, bc, chip, peak,
     views_list = [synthetic.make_scene(n_views=EVAL_N_VIEWS,
                                        img_size=bc.img_size, seed=7 + i)
                   for i in range(EVAL_N_SCENES)]
-    inf = FusedSceneInference(model, variables, cfg, count_flops=True,
-                              fast_path=args.fast_path)
-    t0 = time.perf_counter()
-    depth = inf.predict_scene(views_list[0])   # compiles + first run
-    print(f"eval-path compile+first run: {time.perf_counter()-t0:.1f}s",
-          file=sys.stderr)
-    assert np.isfinite(depth).all() and 0.0 < float(depth.mean()) < 65.0
-    R = depth.shape[0]
 
-    inf.reset_flops()
-    t0 = time.perf_counter()
-    n_scenes = 0
-    for depth in inf.predict_scenes(views_list):
+    def measure(fast: bool):
+        inf = FusedSceneInference(model, variables, cfg, count_flops=True,
+                                  fast_path=fast)
+        t0 = time.perf_counter()
+        depth = inf.predict_scene(views_list[0])   # compiles + first run
+        print(f"eval-path (fast={fast}) compile+first run: "
+              f"{time.perf_counter()-t0:.1f}s", file=sys.stderr)
         assert np.isfinite(depth).all() and 0.0 < float(depth.mean()) < 65.0
-        n_scenes += 1
-    t_eval = (time.perf_counter() - t0) / n_scenes
-    eval_flops = inf.flops_executed() / n_scenes
-    fl_frame = eval_flops / R
-    eval_fps = R / t_eval
+        R = depth.shape[0]
+        inf.reset_flops()
+        t0 = time.perf_counter()
+        n_scenes = 0
+        for depth in inf.predict_scenes(views_list):
+            assert np.isfinite(depth).all() \
+                and 0.0 < float(depth.mean()) < 65.0
+            n_scenes += 1
+        t_eval = (time.perf_counter() - t0) / n_scenes
+        eval_flops = inf.flops_executed() / n_scenes
+        return R / t_eval, t_eval, eval_flops / R, eval_flops, R
+
+    # default (neither flag): headline = the quality-gated fast path,
+    # strict-parity path also measured into parity_* fields (one number
+    # story: BASELINE.md quotes this line)
+    parity_fps = parity_secs = None
+    if not args.fast_path and not args.parity:
+        parity_fps, parity_secs, _, _, _ = measure(fast=False)
+        headline_fast = True
+    else:
+        headline_fast = bool(args.fast_path)
+    eval_fps, t_eval, fl_frame, eval_flops, R = measure(fast=headline_fast)
     eval_mfu = eval_flops / t_eval / peak_fl if peak_fl else None
 
     # vs_baseline denominator: the REFERENCE graph's per-frame FLOPs
@@ -232,7 +248,7 @@ def _eval_bench(args, jax, jnp, np, cfg, model, variables, bc, chip, peak,
     vs_band = [round(eval_fps / (TARGET_MULT * REF_GPU_FP32_PEAK * u
                                  / ref_flops), 3)
                for u in (0.30, 0.08)]
-    pf = ("int8-table 3+1-pass pointflow (fast path)" if args.fast_path
+    pf = ("int8-table 3+1-pass pointflow (fast path)" if headline_fast
           else "2x3 pointflow")
     print(json.dumps({
         "metric": "eval_depth_fps_per_chip",
@@ -240,7 +256,10 @@ def _eval_bench(args, jax, jnp, np, cfg, model, variables, bc, chip, peak,
         "unit": "ref-frames/s, pipelined whole-scene streaming eval "
                 "(5-scene steady state, 48 keyframes @256x320, auto-sized "
                 f"scene grid, {pf}, 3-stage upsample)",
-        "fast_path": bool(args.fast_path),
+        "fast_path": headline_fast,
+        "parity_fps": None if parity_fps is None else round(parity_fps, 2),
+        "parity_scene_seconds": None if parity_secs is None
+        else round(parity_secs, 3),
         "vs_baseline": round(eval_fps / (TARGET_MULT * ref_est_fps), 3),
         "chip": chip,
         "peak_bf16_tflops": peak["bf16_tflops"] if peak else None,

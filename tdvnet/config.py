@@ -71,6 +71,11 @@ class ModelConfig:
     # |alpha| exceeds warp_alpha_max (rotation-heavy view pairs)
     warp_mode: str = "auto"
     warp_alpha_max: float = 0.25
+    # 3D-conv lowering for CostRegNet + SceneUNet: "xla" = native XLA
+    # conv_general_dilated; "im2col" = patch-concat + matmul
+    # (tdvnet/ops/conv3d.py) — exact same math, far better MXU/HBM
+    # behavior for the small-channel CostRegNet levels
+    conv3d_impl: str = "xla"
 
     @property
     def n_hyp(self) -> int:

@@ -13,6 +13,38 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from tdvnet.ops.conv3d import conv3d_im2col
+
+
+class Im2colConv3d(nn.Module):
+    """`nn.Conv`-compatible 3D conv via the im2col/matmul lowering.
+
+    Same param tree as `nn.Conv` (kernel [kd,kh,kw,Cin,Cout], optional
+    bias) so it is checkpoint-interchangeable when given ``name="Conv_0"``
+    — see `tdvnet/ops/conv3d.py` for why this exists.
+    """
+
+    features: int
+    kernel_size: Tuple[int, int, int] = (3, 3, 3)
+    strides: Tuple[int, int, int] = (1, 1, 1)
+    padding: Tuple[Tuple[int, int], ...] = ((1, 1), (1, 1), (1, 1))
+    input_dilation: Tuple[int, int, int] = (1, 1, 1)
+    use_bias: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        cin = x.shape[-1]
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (*self.kernel_size, cin, self.features))
+        y = conv3d_im2col(x.astype(self.dtype), kernel.astype(self.dtype),
+                          self.strides, self.padding, self.input_dilation)
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros,
+                              (self.features,))
+            y = y + bias.astype(y.dtype)
+        return y
+
 
 class ConvBnRelu(nn.Module):
     """Conv (no bias) + BatchNorm + ReLU for 2D or 3D channel-last inputs."""
@@ -21,6 +53,7 @@ class ConvBnRelu(nn.Module):
     kernel_size: Tuple[int, ...] = (3, 3)
     strides: Tuple[int, ...] = (1, 1)
     dtype: jnp.dtype = jnp.float32
+    impl: str = "xla"                # "xla" | "im2col" (3D only)
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -28,8 +61,13 @@ class ConvBnRelu(nn.Module):
         # (0, 1) there on even inputs — explicit padding keeps converted
         # reference weights alignment-exact (identical to SAME at stride 1)
         pad = tuple((k // 2, k // 2) for k in self.kernel_size)
-        x = nn.Conv(self.features, self.kernel_size, self.strides,
-                    padding=pad, use_bias=False, dtype=self.dtype)(x)
+        if self.impl == "im2col" and len(self.kernel_size) == 3:
+            x = Im2colConv3d(self.features, self.kernel_size, self.strides,
+                             pad, use_bias=False, dtype=self.dtype,
+                             name="Conv_0")(x)
+        else:
+            x = nn.Conv(self.features, self.kernel_size, self.strides,
+                        padding=pad, use_bias=False, dtype=self.dtype)(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                          epsilon=1e-5, dtype=self.dtype)(x)
         return nn.relu(x)
@@ -46,12 +84,20 @@ class ConvTransposeUp3d(nn.Module):
 
     features: int
     dtype: jnp.dtype = jnp.float32
+    impl: str = "xla"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        x = nn.Conv(self.features, (3, 3, 3), strides=(1, 1, 1),
-                    input_dilation=(2, 2, 2), padding=((1, 2), (1, 2), (1, 2)),
-                    use_bias=False, dtype=self.dtype)(x)
+        if self.impl == "im2col":
+            x = Im2colConv3d(self.features, (3, 3, 3), (1, 1, 1),
+                             ((1, 2), (1, 2), (1, 2)),
+                             input_dilation=(2, 2, 2), use_bias=False,
+                             dtype=self.dtype, name="Conv_0")(x)
+        else:
+            x = nn.Conv(self.features, (3, 3, 3), strides=(1, 1, 1),
+                        input_dilation=(2, 2, 2),
+                        padding=((1, 2), (1, 2), (1, 2)),
+                        use_bias=False, dtype=self.dtype)(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                          epsilon=1e-5, dtype=self.dtype)(x)
         return nn.relu(x)

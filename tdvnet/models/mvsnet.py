@@ -15,7 +15,7 @@ from flax import linen as nn
 
 from tdvnet.models.backbone import MnasMulti
 from tdvnet.models.fpn import FPN
-from tdvnet.models.layers import ConvBnRelu, ConvTransposeUp3d
+from tdvnet.models.layers import ConvBnRelu, ConvTransposeUp3d, Im2colConv3d
 from tdvnet.ops import costvolume
 
 
@@ -24,18 +24,24 @@ class CostRegNet(nn.Module):
 
     base: int = 8
     dtype: jnp.dtype = jnp.float32
+    impl: str = "xla"                # conv lowering: "xla" | "im2col"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        b, d = self.base, self.dtype
-        c3 = lambda f, s: ConvBnRelu(f, (3, 3, 3), (s, s, s), dtype=d)
+        b, d, im = self.base, self.dtype, self.impl
+        c3 = lambda f, s: ConvBnRelu(f, (3, 3, 3), (s, s, s), dtype=d,
+                                     impl=im)
         conv0 = c3(b, 1)(x, train)
         conv2 = c3(2 * b, 1)(c3(2 * b, 2)(conv0, train), train)
         conv4 = c3(4 * b, 1)(c3(4 * b, 2)(conv2, train), train)
         y = c3(8 * b, 1)(c3(8 * b, 2)(conv4, train), train)
-        y = conv4 + ConvTransposeUp3d(4 * b, d)(y, train)
-        y = conv2 + ConvTransposeUp3d(2 * b, d)(y, train)
-        y = conv0 + ConvTransposeUp3d(b, d)(y, train)
+        y = conv4 + ConvTransposeUp3d(4 * b, d, impl=im)(y, train)
+        y = conv2 + ConvTransposeUp3d(2 * b, d, impl=im)(y, train)
+        y = conv0 + ConvTransposeUp3d(b, d, impl=im)(y, train)
+        if im == "im2col":
+            return Im2colConv3d(1, (3, 3, 3), (1, 1, 1),
+                                ((1, 1), (1, 1), (1, 1)), use_bias=True,
+                                dtype=d, name="Conv_0")(y)
         return nn.Conv(1, (3, 3, 3), padding="SAME", dtype=d)(y)
 
 
@@ -52,11 +58,13 @@ class MVSNet(nn.Module):
     dtype: jnp.dtype = jnp.float32
     warp_mode: str = "auto"          # see plane_sweep_cost_volume
     warp_alpha_max: float = 0.25
+    conv3d_impl: str = "xla"         # CostRegNet lowering: "xla" | "im2col"
 
     def setup(self):
         self.backbone = MnasMulti(dtype=self.dtype)
         self.fpn = FPN(self.feat_dim, dtype=self.dtype)
-        self.cost_reg = CostRegNet(self.cost_base, dtype=self.dtype)
+        self.cost_reg = CostRegNet(self.cost_base, dtype=self.dtype,
+                                   impl=self.conv3d_impl)
 
     def extract_features(self, images, train: bool = False):
         """images [N, H, W, 3] → (half, quarter, eighth) FPN features."""

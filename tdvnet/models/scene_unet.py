@@ -33,7 +33,9 @@ from typing import Optional, Tuple
 import jax.numpy as jnp
 from flax import linen as nn
 
-from tdvnet.models.layers import MaskedGroupNorm, downsample_mask
+from tdvnet.models.layers import Im2colConv3d, MaskedGroupNorm, \
+    downsample_mask
+from tdvnet.ops.conv3d import same_pads
 
 
 def _halo_x(x, axis_name):
@@ -49,28 +51,33 @@ class MaskedConv3d(nn.Module):
     use_bias: bool = False
     dtype: jnp.dtype = jnp.float32
     axis_name: Optional[str] = None
+    impl: str = "xla"                # conv lowering: "xla" | "im2col"
+
+    def _conv(self, x, padding):
+        k, s = self.kernel, self.strides
+        if self.impl == "im2col":
+            return Im2colConv3d(self.features, (k, k, k), (s, s, s),
+                                padding, use_bias=self.use_bias,
+                                dtype=self.dtype, name="Conv_0")(x)
+        return nn.Conv(self.features, (k, k, k), strides=(s, s, s),
+                       padding=padding, use_bias=self.use_bias,
+                       dtype=self.dtype)(x)
 
     @nn.compact
     def __call__(self, x, mask_out):
         k, s = self.kernel, self.strides
         if self.axis_name is None or k == 1:
-            y = nn.Conv(self.features, (k, k, k), strides=(s, s, s),
-                        padding="SAME", use_bias=self.use_bias,
-                        dtype=self.dtype)(x)
-            return y * mask_out
+            pad = same_pads(x.shape[1:4], (k, k, k), (s, s, s))
+            return self._conv(x, pad) * mask_out
         xp = _halo_x(x, self.axis_name)
         if s == 1:
             # SAME(1,1) in x becomes VALID over [halo, x, halo]
-            y = nn.Conv(self.features, (k, k, k), strides=(1, 1, 1),
-                        padding=((0, 0), (1, 1), (1, 1)),
-                        use_bias=self.use_bias, dtype=self.dtype)(xp)
+            y = self._conv(xp, ((0, 0), (1, 1), (1, 1)))
         else:
             # XLA SAME for stride 2 / kernel 3 / even extents pads (0, 1):
             # windows start at the shard's first cell, so only the RIGHT
             # halo is consumed in x; y/z get the same (0, 1) padding
-            y = nn.Conv(self.features, (k, k, k), strides=(s, s, s),
-                        padding=((0, 0), (0, 1), (0, 1)),
-                        use_bias=self.use_bias, dtype=self.dtype)(xp[:, 1:])
+            y = self._conv(xp[:, 1:], ((0, 0), (0, 1), (0, 1)))
         return y * mask_out
 
 
@@ -80,13 +87,20 @@ class MaskedUpConv3d(nn.Module):
     features: int
     dtype: jnp.dtype = jnp.float32
     axis_name: Optional[str] = None
+    impl: str = "xla"
 
     @nn.compact
     def __call__(self, x, mask_out):
-        conv = nn.Conv(self.features, (3, 3, 3), strides=(1, 1, 1),
-                       input_dilation=(2, 2, 2),
-                       padding=((1, 2), (1, 2), (1, 2)),
-                       use_bias=False, dtype=self.dtype)
+        if self.impl == "im2col":
+            conv = Im2colConv3d(self.features, (3, 3, 3), (1, 1, 1),
+                                ((1, 2), (1, 2), (1, 2)),
+                                input_dilation=(2, 2, 2), use_bias=False,
+                                dtype=self.dtype, name="Conv_0")
+        else:
+            conv = nn.Conv(self.features, (3, 3, 3), strides=(1, 1, 1),
+                           input_dilation=(2, 2, 2),
+                           padding=((1, 2), (1, 2), (1, 2)),
+                           use_bias=False, dtype=self.dtype)
         if self.axis_name is None:
             return conv(x) * mask_out
         # halo-extend the coarse grid, upconv, crop the neighbors' outputs
@@ -103,15 +117,18 @@ class SparseResidual3d(nn.Module):
     num_groups: int
     dtype: jnp.dtype = jnp.float32
     axis_name: Optional[str] = None
+    impl: str = "xla"
 
     @nn.compact
     def __call__(self, x, mask):
-        a = self.axis_name
-        y = MaskedConv3d(self.features, dtype=self.dtype, axis_name=a)(x, mask)
+        a, im = self.axis_name, self.impl
+        y = MaskedConv3d(self.features, dtype=self.dtype, axis_name=a,
+                         impl=im)(x, mask)
         y = MaskedGroupNorm(self.num_groups, self.features, axis_name=a)(
             y, mask)
         y = nn.relu(y) * mask
-        y = MaskedConv3d(self.features, dtype=self.dtype, axis_name=a)(y, mask)
+        y = MaskedConv3d(self.features, dtype=self.dtype, axis_name=a,
+                         impl=im)(y, mask)
         y = MaskedGroupNorm(self.num_groups, self.features,
                             zero_init_scale=True, axis_name=a)(y, mask)
         return nn.relu(y + x) * mask
@@ -125,6 +142,7 @@ class SceneUNet(nn.Module):
     n_res: Tuple[int, int, int] = (1, 2, 3)
     dtype: jnp.dtype = jnp.float32
     axis_name: Optional[str] = None
+    impl: str = "xla"
 
     @nn.compact
     def __call__(self, grid, mask, axis_name: Optional[str] = None):
@@ -157,32 +175,36 @@ class SceneUNet(nn.Module):
         for lvl in range(L):
             if lvl > 0:
                 x = MaskedConv3d(self.dims[lvl], strides=2, use_bias=True,
-                                 dtype=self.dtype, axis_name=a)(x, masks[lvl])
+                                 dtype=self.dtype, axis_name=a,
+                                 impl=self.impl)(x, masks[lvl])
                 x = MaskedGroupNorm(self.n_groups[lvl], self.dims[lvl],
                                     axis_name=a)(x, masks[lvl])
                 x = nn.relu(x) * masks[lvl]
             for _ in range(self.n_res[lvl]):
                 x = SparseResidual3d(self.dims[lvl], self.n_groups[lvl],
-                                     self.dtype, axis_name=a)(x, masks[lvl])
+                                     self.dtype, axis_name=a,
+                                     impl=self.impl)(x, masks[lvl])
             skips.append(x)
 
         # decoder: coarsest-first output list, like the reference
         out = [{"grid": skips[-1], "mask": masks[-1], "stride": 2 ** (L - 1)}]
         x = skips[-1]
         for lvl in range(L - 2, -1, -1):
-            x = MaskedUpConv3d(self.dims[lvl], self.dtype, axis_name=a)(
-                x, masks[lvl])
+            x = MaskedUpConv3d(self.dims[lvl], self.dtype, axis_name=a,
+                               impl=self.impl)(x, masks[lvl])
             x = MaskedGroupNorm(self.n_groups[lvl], self.dims[lvl],
                                 axis_name=a)(x, masks[lvl])
             x = nn.relu(x) * masks[lvl]
             x = jnp.concatenate([x, skips[lvl]], axis=-1)
             x = MaskedConv3d(self.dims[lvl], kernel=1, use_bias=True,
-                             dtype=self.dtype, axis_name=a)(x, masks[lvl])
+                             dtype=self.dtype, axis_name=a,
+                             impl=self.impl)(x, masks[lvl])
             x = MaskedGroupNorm(self.n_groups[lvl], self.dims[lvl],
                                 axis_name=a)(x, masks[lvl])
             x = nn.relu(x) * masks[lvl]
             for _ in range(self.n_res[lvl]):
                 x = SparseResidual3d(self.dims[lvl], self.n_groups[lvl],
-                                     self.dtype, axis_name=a)(x, masks[lvl])
+                                     self.dtype, axis_name=a,
+                                     impl=self.impl)(x, masks[lvl])
             out.append({"grid": x, "mask": masks[lvl], "stride": 2 ** lvl})
         return out

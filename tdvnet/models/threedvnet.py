@@ -42,11 +42,12 @@ class ThreeDVNet(nn.Module):
         c = self.cfg
         self.mvsnet = MVSNet(c.feat_dim, c.img_size, c.cost_base_channels,
                              dtype=c.dtype, warp_mode=c.warp_mode,
-                             warp_alpha_max=c.warp_alpha_max)
+                             warp_alpha_max=c.warp_alpha_max,
+                             conv3d_impl=c.conv3d_impl)
         # PointNet(hidden=4f, out=2f, in=f+3) per reference PL3DVNet.__init__
         self.pointnet = PointNet(4 * c.feat_dim, 2 * c.feat_dim, dtype=c.dtype)
         self.scene_unet = SceneUNet(c.unet_dims, c.unet_groups, c.unet_res,
-                                    dtype=c.dtype)
+                                    dtype=c.dtype, impl=c.conv3d_impl)
         self.decoder = HypothesisDecoder(c.decoder_hidden, c.hyp_ksize,
                                          dtype=c.dtype)
         self.refine_quarter = PropagationNet(c.propagation_hidden,

@@ -48,26 +48,29 @@ def measure_roundtrip():
     return float(np.median(ts))
 
 
-def time_chained(name, step_fn, t_rt, k=K_CHAIN):
+def time_chained(name, step_fn, t_rt, k=K_CHAIN, arrays=()):
+    # arrays are passed as jit ARGUMENTS: closed-over device arrays get
+    # embedded as HLO constants, which both blows up the compile request
+    # (tunnel HTTP 413 at 330 MB cost volumes) and defeats buffer reuse
     @jax.jit
-    def chain(eps):
+    def chain(eps, *arrays):
         def body(e, _):
-            return step_fn(e) * 1e-20, None
+            return step_fn(e, *arrays) * 1e-20, None
         e, _ = jax.lax.scan(body, eps, None, length=k)
         return e
 
     t0 = time.perf_counter()
-    c = chain.lower(jnp.float32(0.0)).compile()
+    c = chain.lower(jnp.float32(0.0), *arrays).compile()
     t_compile = time.perf_counter() - t0
     ca = c.cost_analysis()
     if isinstance(ca, list):
         ca = ca[0]
     fl = float(ca.get("flops", 0.0) or 0.0) / k
-    float(c(jnp.float32(0.0)))
+    float(c(jnp.float32(0.0), *arrays))
     ts = []
     for _ in range(REPS):
         t0 = time.perf_counter()
-        float(c(jnp.float32(0.0)))
+        float(c(jnp.float32(0.0), *arrays))
         ts.append(time.perf_counter() - t0)
     t = (float(np.median(ts)) - t_rt) / k
     tf = fl / max(t, 1e-9) / 1e12
@@ -82,6 +85,12 @@ def main():
     ap.add_argument("--planes", type=int, default=96)
     ap.add_argument("--grid", type=int, nargs=3, default=(112, 112, 48))
     ap.add_argument("--skip-c", action="store_true")
+    ap.add_argument("--skip-b", action="store_true")
+    ap.add_argument("--impl", default="xla", choices=["xla", "im2col"],
+                    help="3D-conv lowering for CostRegNet/SceneUNet")
+    ap.add_argument("--warp-mode", default="auto",
+                    choices=["auto", "matmul", "gather"])
+    ap.add_argument("--skip-b23", action="store_true")
     args = ap.parse_args()
 
     from tdvnet.config import load_config
@@ -124,43 +133,50 @@ def main():
 
     wdt = dt
 
-    def b1(eps):
+    def b1(eps, feats):
         var = costvolume.plane_sweep_cost_volume(
             feats + eps.astype(dt), rot, tv, Ks, ref_idx, src_idx, src_mask,
-            0.5, 0.05, D, mc.img_size, (h, w), mode="auto",
+            0.5, 0.05, D, mc.img_size, (h, w), mode=args.warp_mode,
             alpha_max=0.25, weights_dtype=wdt)
         return var.astype(jnp.float32).mean()
-    time_chained(f"B1 cost_volume({R}r,{D}d,{h}x{w})", b1, t_rt)
+    if not args.skip_b:
+        time_chained(f"B1 cost_volume({R}r,{D}d,{h}x{w}) "
+                     f"[{args.warp_mode}]", b1, t_rt, arrays=(feats,))
 
-    reg = CostRegNet(mc.cost_base_channels, dtype=dt)
+    reg = CostRegNet(mc.cost_base_channels, dtype=dt, impl=args.impl)
     var0 = jnp.asarray(rng.randn(R, D, h, w, C), dt)
     vreg = reg.init(jax.random.PRNGKey(0), var0, False)
 
-    def b2(eps):
+    def b2(eps, vreg, var0):
         return reg.apply(vreg, var0 + eps.astype(dt),
                          False)[..., 0].astype(jnp.float32).mean()
-    time_chained(f"B2 CostRegNet({R}x{D}x{h}x{w}x{C})", b2, t_rt)
+    if not args.skip_b and not args.skip_b23:
+        time_chained(f"B2 CostRegNet({R}x{D}x{h}x{w}x{C}) [{args.impl}]",
+                     b2, t_rt, arrays=(vreg, var0))
 
     cost0 = jnp.asarray(rng.randn(R, D, h, w), jnp.float32)
     dvals = jnp.linspace(0.5, 0.5 + 0.05 * (D - 1), D, dtype=jnp.float32)
 
-    def b3(eps):
+    def b3(eps, cost0):
         prob = jax.nn.softmax(-(cost0 + eps), axis=1)
         return jnp.sum(prob * dvals[None, :, None, None], axis=1).mean()
-    time_chained("B3 softmax+expectation", b3, t_rt)
+    if not args.skip_b and not args.skip_b23:
+        time_chained("B3 softmax+expectation", b3, t_rt, arrays=(cost0,))
 
     if not args.skip_c:
         X, Y, Z = args.grid
-        unet = SceneUNet(mc.unet_dims, mc.unet_groups, mc.unet_res, dtype=dt)
+        unet = SceneUNet(mc.unet_dims, mc.unet_groups, mc.unet_res, dtype=dt,
+                         impl=args.impl)
         vox = jnp.asarray(rng.randn(1, X, Y, Z, mc.unet_dims[0]), dt)
         mask = jnp.asarray(rng.rand(1, X, Y, Z, 1) < 0.12)
         vu = unet.init(jax.random.PRNGKey(0), vox, mask)
 
-        def c1(eps):
+        def c1(eps, vu, vox, mask):
             scales = unet.apply(vu, vox + eps.astype(dt), mask)
             return sum(s["grid"].astype(jnp.float32).mean()
                        for s in scales)
-        time_chained(f"C1 SceneUNet({X}x{Y}x{Z})", c1, t_rt)
+        time_chained(f"C1 SceneUNet({X}x{Y}x{Z}) [{args.impl}]", c1, t_rt,
+                     arrays=(vu, vox, mask))
 
 
 if __name__ == "__main__":
