@@ -25,30 +25,16 @@ import jax
 import jax.numpy as jnp
 
 
-def conv3d_im2col(x: jnp.ndarray, kernel: jnp.ndarray,
-                  strides: Sequence[int],
-                  padding: Sequence[Tuple[int, int]],
-                  input_dilation: Sequence[int] = (1, 1, 1),
-                  ) -> jnp.ndarray:
-    """3D conv as patch-concat + matmul.
+# transient-patch budget for the automatic D-slab choice: big enough to
+# stream the matmul at the HBM roofline, small enough that the 27x patch
+# duplication of the finest CostRegNet level never OOMs
+_PATCH_BUDGET_BYTES = 256 * 1024 * 1024
 
-    x: [N, D, H, W, Cin] channel-last; kernel: [kd, kh, kw, Cin, Cout]
-    (flax `nn.Conv` layout).  `padding` is per-spatial-dim (lo, hi);
-    `input_dilation` > 1 inserts zeros between input elements (the
-    transposed-conv-as-dilated-conv trick, same as flax `input_dilation`).
-    Returns [N, D', H', W', Cout] in x.dtype with fp32 accumulation.
-    """
+
+def _im2col_body(xp, kernel, strides, od):
     kd, kh, kw, cin, cout = kernel.shape
-    assert x.shape[-1] == cin, (x.shape, kernel.shape)
     sd, sh, sw = strides
-    # one lax.pad does both the edge padding and the interior (dilation)
-    # zero-insertion
-    pad_cfg = [(0, 0, 0)] + [
-        (int(p[0]), int(p[1]), int(d) - 1)
-        for p, d in zip(padding, input_dilation)] + [(0, 0, 0)]
-    xp = jax.lax.pad(x, jnp.zeros((), x.dtype), pad_cfg)
-    n, Dp, Hp, Wp, _ = xp.shape
-    od = (Dp - kd) // sd + 1
+    n, _, Hp, Wp, _ = xp.shape
     oh = (Hp - kh) // sh + 1
     ow = (Wp - kw) // sw + 1
     cols = []
@@ -67,7 +53,64 @@ def conv3d_im2col(x: jnp.ndarray, kernel: jnp.ndarray,
         patches.reshape(-1, kd * kh * kw * cin), w,
         (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
-    return y.reshape(n, od, oh, ow, cout).astype(x.dtype)
+    return y.reshape(n, od, oh, ow, cout).astype(xp.dtype)
+
+
+def conv3d_im2col(x: jnp.ndarray, kernel: jnp.ndarray,
+                  strides: Sequence[int],
+                  padding: Sequence[Tuple[int, int]],
+                  input_dilation: Sequence[int] = (1, 1, 1),
+                  d_slab: int | None = None) -> jnp.ndarray:
+    """3D conv as patch-concat + matmul.
+
+    x: [N, D, H, W, Cin] channel-last; kernel: [kd, kh, kw, Cin, Cout]
+    (flax `nn.Conv` layout).  `padding` is per-spatial-dim (lo, hi);
+    `input_dilation` > 1 inserts zeros between input elements (the
+    transposed-conv-as-dilated-conv trick, same as flax `input_dilation`).
+    Returns [N, D', H', W', Cout] in x.dtype with fp32 accumulation.
+
+    d_slab: chunk the OUTPUT depth axis into slabs of this size (lax.map),
+    bounding the transient patch tensor — the k^3·Cin-fold patch
+    duplication is ~10 GB at the finest CostRegNet level otherwise.
+    Default: chosen automatically to keep patches under ~256 MB.
+    """
+    kd, kh, kw, cin, cout = kernel.shape
+    assert x.shape[-1] == cin, (x.shape, kernel.shape)
+    sd, sh, sw = strides
+    # one lax.pad does both the edge padding and the interior (dilation)
+    # zero-insertion
+    pad_cfg = [(0, 0, 0)] + [
+        (int(p[0]), int(p[1]), int(d) - 1)
+        for p, d in zip(padding, input_dilation)] + [(0, 0, 0)]
+    xp = jax.lax.pad(x, jnp.zeros((), x.dtype), pad_cfg)
+    n, Dp, Hp, Wp, _ = xp.shape
+    od = (Dp - kd) // sd + 1
+    oh = (Hp - kh) // sh + 1
+    ow = (Wp - kw) // sw + 1
+
+    if d_slab is None:
+        patch_bytes = n * od * oh * ow * kd * kh * kw * cin * x.dtype.itemsize
+        d_slab = od if patch_bytes <= _PATCH_BUDGET_BYTES else max(
+            1, int(od * _PATCH_BUDGET_BYTES / patch_bytes))
+    if d_slab >= od:
+        return _im2col_body(xp, kernel, strides, od)
+
+    nslab = -(-od // d_slab)
+    # pad the input so every slab reads a full static window
+    need = ((nslab * d_slab - 1) * sd + kd) - Dp
+    if need > 0:
+        xp = jax.lax.pad(xp, jnp.zeros((), x.dtype),
+                         [(0, 0, 0), (0, need, 0), (0, 0, 0), (0, 0, 0),
+                          (0, 0, 0)])
+    win = (d_slab - 1) * sd + kd
+
+    def slab(i):
+        x0 = jax.lax.dynamic_slice_in_dim(xp, i * d_slab * sd, win, axis=1)
+        return _im2col_body(x0, kernel, strides, d_slab)
+
+    ys = jax.lax.map(slab, jnp.arange(nslab))       # [nslab,N,slab,oh,ow,O]
+    y = jnp.moveaxis(ys, 0, 1).reshape(n, nslab * d_slab, oh, ow, cout)
+    return y[:, :od]
 
 
 def same_pads(in_sizes: Sequence[int], kernel: Sequence[int],

@@ -36,6 +36,23 @@ def test_conv3d_im2col_matches_xla(stride, dilation, pad):
                                rtol=1e-5, atol=1e-4)
 
 
+@pytest.mark.parametrize("stride,dilation,pad,d_slab", [
+    (1, 1, ((1, 1), (1, 1), (1, 1)), 3),
+    (2, 1, ((0, 1), (0, 1), (0, 1)), 2),
+    (1, 2, ((1, 2), (1, 2), (1, 2)), 5),
+])
+def test_conv3d_im2col_slabbed_matches_xla(stride, dilation, pad, d_slab):
+    rng = np.random.RandomState(4)
+    x = jnp.asarray(rng.randn(2, 9, 6, 6, 5), jnp.float32)
+    w = jnp.asarray(rng.randn(3, 3, 3, 5, 7), jnp.float32)
+    got = conv3d_im2col(x, w, (stride,) * 3, pad, (dilation,) * 3,
+                        d_slab=d_slab)
+    want = _ref_conv(x, w, (stride,) * 3, pad, (dilation,) * 3)
+    assert got.shape == want.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-4)
+
+
 def test_same_pads_matches_xla_same():
     rng = np.random.RandomState(1)
     x = jnp.asarray(rng.randn(1, 8, 6, 4, 3), jnp.float32)
