@@ -106,7 +106,8 @@ def plane_sweep_cost_volume(feats: jnp.ndarray, rotmats: jnp.ndarray,
                             plane_size: Tuple[int, int],
                             mode: str = "gather",
                             weights_dtype=jnp.float32,
-                            alpha_max: float = 0.25) -> jnp.ndarray:
+                            alpha_max: float = 0.25,
+                            src_unroll: int | None = None) -> jnp.ndarray:
     """Variance cost volume for each ref view.
 
     feats: [N, Hf, Wf, C] (quarter-res image features).
@@ -147,7 +148,8 @@ def plane_sweep_cost_volume(feats: jnp.ndarray, rotmats: jnp.ndarray,
     def matmul_variance(feats):
         return warp.warp_variance_matmul(feats[src_idx], Hm, src_mask,
                                          plane_size,
-                                         weights_dtype=weights_dtype)
+                                         weights_dtype=weights_dtype,
+                                         src_unroll=src_unroll)
 
     if mode == "matmul":
         return matmul_variance(feats)

@@ -138,7 +138,8 @@ def _hat(pos, n: int, dtype):
 
 def warp_variance_matmul(feats, Hmat, src_mask, plane_size: Tuple[int, int],
                          weights_dtype=jnp.bfloat16,
-                         plane_block: int = 96):
+                         plane_block: int = 96,
+                         src_unroll: int | None = None):
     """Fused two-pass warp + masked source variance.
 
     feats:    [N, Hf, Wf, C] source feature maps.
@@ -197,7 +198,15 @@ def warp_variance_matmul(feats, Hmat, src_mask, plane_size: Tuple[int, int],
             return (acc_v + out * m, acc_sq + out * out * m), None
 
         z = jnp.zeros((Rr, plane_block, h, w, C), jnp.float32)
-        (acc_v, acc_sq), _ = jax.lax.scan(src_step, (z, z), jnp.arange(S))
+        # default full unroll: scan carries become SSA values XLA keeps
+        # fused with the pass-2 dot epilogues instead of round-tripping the
+        # two fp32 [R,pb,h,w,C] accumulators to HBM every source step —
+        # measured 77.7 -> 44.2 ms/exec at the 18-ref eval shapes
+        # (tools/profile_initial_depth.py --src-unroll); the per-step
+        # @jax.checkpoint still bounds backward memory per source
+        u = S if src_unroll is None else src_unroll
+        (acc_v, acc_sq), _ = jax.lax.scan(src_step, (z, z), jnp.arange(S),
+                                          unroll=u)
         denom = cnt[:, None, None, None, None]
         mean = acc_v / denom
         return carry, acc_sq / denom - mean * mean
@@ -213,7 +222,8 @@ def plane_sweep_variance_matmul(feats, rotmats, tvecs, K, ref_idx, src_idx,
                                 img_size: Tuple[int, int],
                                 plane_size: Tuple[int, int],
                                 weights_dtype=jnp.bfloat16,
-                                plane_block: int = 96) -> jnp.ndarray:
+                                plane_block: int = 96,
+                                src_unroll: int | None = None) -> jnp.ndarray:
     """Drop-in MXU replacement for the gather-based plane-sweep variance:
     returns [R, D, h, w, C] float32 like
     `costvolume.plane_sweep_cost_volume`."""
@@ -224,4 +234,4 @@ def plane_sweep_variance_matmul(feats, rotmats, tvecs, K, ref_idx, src_idx,
     Hm = jax.lax.stop_gradient(Hm)
     feats_g = feats[src_idx]                                # [R, S, Hf, Wf, C]
     return warp_variance_matmul(feats_g, Hm, src_mask, plane_size,
-                                weights_dtype, plane_block)
+                                weights_dtype, plane_block, src_unroll)

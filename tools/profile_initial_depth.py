@@ -90,6 +90,7 @@ def main():
                     help="3D-conv lowering for CostRegNet/SceneUNet")
     ap.add_argument("--warp-mode", default="auto",
                     choices=["auto", "matmul", "gather"])
+    ap.add_argument("--src-unroll", type=int, default=None)
     ap.add_argument("--skip-b23", action="store_true")
     args = ap.parse_args()
 
@@ -137,11 +138,12 @@ def main():
         var = costvolume.plane_sweep_cost_volume(
             feats + eps.astype(dt), rot, tv, Ks, ref_idx, src_idx, src_mask,
             0.5, 0.05, D, mc.img_size, (h, w), mode=args.warp_mode,
-            alpha_max=0.25, weights_dtype=wdt)
+            alpha_max=0.25, weights_dtype=wdt, src_unroll=args.src_unroll)
         return var.astype(jnp.float32).mean()
     if not args.skip_b:
         time_chained(f"B1 cost_volume({R}r,{D}d,{h}x{w}) "
-                     f"[{args.warp_mode}]", b1, t_rt, arrays=(feats,))
+                     f"[{args.warp_mode},u{args.src_unroll}]", b1, t_rt,
+                     arrays=(feats,))
 
     reg = CostRegNet(mc.cost_base_channels, dtype=dt, impl=args.impl)
     var0 = jnp.asarray(rng.randn(R, D, h, w, C), dt)
