@@ -80,14 +80,17 @@ def main():
     from tdvnet.models.threedvnet import ThreeDVNet
 
     ap = argparse.ArgumentParser()
-    ap.add_argument("--fast-path", action="store_true",
-                    help="bench ONLY the validated fast path (int8 scene "
-                         "tables + adaptive iter-2 offsets)")
-    ap.add_argument("--parity", action="store_true",
-                    help="bench ONLY the strict-parity op mix (old "
-                         "default). Default with neither flag: headline "
-                         "= fast path, parity path also measured and "
-                         "reported as parity_fps in the same line")
+    path_group = ap.add_mutually_exclusive_group()
+    path_group.add_argument("--fast-path", action="store_true",
+                            help="bench ONLY the validated fast path "
+                                 "(int8 scene tables + adaptive iter-2 "
+                                 "offsets)")
+    path_group.add_argument("--parity", action="store_true",
+                            help="bench ONLY the strict-parity op mix "
+                                 "(old default). Default with neither "
+                                 "flag: headline = fast path, parity "
+                                 "path also measured and reported as "
+                                 "parity_fps in the same line")
     ap.add_argument("--skip-train-fwd", action="store_true",
                     help="skip the training-shape forward measurement "
                          "(eval-only quick run)")

@@ -136,13 +136,45 @@ def main(save_dirname: str, pred_fn: Callable, cfg: Config,
     return processresults.calc_avg_metrics(save_dir)
 
 
-def make_3dvnet_pred_fn(model, variables, cfg: Config, mesh=None):
+def make_3dvnet_pred_fn(model, variables, cfg: Config, mesh=None,
+                        dp: bool = False):
     """The flagship's pred_fn: whole-scene inference.
 
     Uses the two-dispatch fused driver (`tdvnet.eval.fused_scene`) on a
     single chip; result depths are mm-quantized on fetch (±0.5 mm, far
-    below every metric threshold).  Pass a mesh for spatially-sharded
-    scene volumes — that path keeps the host-chunked driver."""
+    below every metric threshold).  Multi-chip options:
+
+    - mesh + dp=True: DP-over-scenes fused eval (`FusedSceneInferenceDP`)
+      — mesh-size scenes run as ONE zero-collective SPMD program.  The
+      harness asks for one scene at a time, so the pred_fn prefetches the
+      next mesh-size scenes through `dset` and serves the group from a
+      cache (group boundaries follow harness scene order).
+    - mesh + dp=False: spatially-sharded scene volumes (halo-sharded
+      U-Net) via the host-chunked `SceneInference` — for scenes whose
+      volume exceeds one chip's HBM.
+    """
+    if mesh is not None and dp:
+        from tdvnet.eval.fused_scene import FusedSceneInferenceDP
+
+        inf_dp = FusedSceneInferenceDP(model, variables, cfg, mesh)
+        cache: dict = {}
+
+        def pred_fn(views, scene_dir, dset):
+            if scene_dir not in cache:
+                idx = dset.scene_dirs.index(scene_dir)
+                group_dirs = dset.scene_dirs[idx:idx + inf_dp.n_dev]
+                group_views = [views] + [
+                    dset.load_views(idx + 1 + i, seed_idx=0)
+                    for i in range(len(group_dirs) - 1)]
+                outs = inf_dp.predict_group(group_views)
+                cache.update(zip(group_dirs, outs))
+                if inf_dp.last_scene_stats:
+                    print(f"  group volume stats ({len(group_dirs)} "
+                          f"scenes): {inf_dp.last_scene_stats}")
+            return cache.pop(scene_dir)
+
+        return pred_fn
+
     if mesh is not None:
         from tdvnet.eval.whole_scene import SceneInference
 

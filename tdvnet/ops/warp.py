@@ -198,13 +198,19 @@ def warp_variance_matmul(feats, Hmat, src_mask, plane_size: Tuple[int, int],
             return (acc_v + out * m, acc_sq + out * out * m), None
 
         z = jnp.zeros((Rr, plane_block, h, w, C), jnp.float32)
-        # default full unroll: scan carries become SSA values XLA keeps
-        # fused with the pass-2 dot epilogues instead of round-tripping the
-        # two fp32 [R,pb,h,w,C] accumulators to HBM every source step —
+        # default unroll: scan carries become SSA values XLA keeps fused
+        # with the pass-2 dot epilogues instead of round-tripping the two
+        # fp32 [R,pb,h,w,C] accumulators to HBM every source step —
         # measured 77.7 -> 44.2 ms/exec at the 18-ref eval shapes
         # (tools/profile_initial_depth.py --src-unroll); the per-step
-        # @jax.checkpoint still bounds backward memory per source
-        u = S if src_unroll is None else src_unroll
+        # @jax.checkpoint still bounds backward memory per source.
+        # Capped at 8: the win was measured at S=5 eval shapes, and full
+        # unroll at large S only grows compile time/program size
+        # (ADVICE r4); src_unroll=0/negative is rejected rather than
+        # silently breaking lax.scan
+        u = min(S, 8) if src_unroll is None else src_unroll
+        if u < 1:
+            raise ValueError(f"src_unroll must be >= 1, got {u}")
         (acc_v, acc_sq), _ = jax.lax.scan(src_step, (z, z), jnp.arange(S),
                                           unroll=u)
         denom = cnt[:, None, None, None, None]

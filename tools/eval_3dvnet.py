@@ -34,6 +34,14 @@ def main():
     ap.add_argument("--fast-path", action="store_true",
                     help="validated fast path: int8 scene tables + "
                          "adaptive iter-2 offsets (cfg.eval.fast_path)")
+    ap.add_argument("--dp", action="store_true",
+                    help="DP-over-scenes fused eval: run mesh-size scene "
+                         "groups as one zero-collective SPMD program over "
+                         "all local devices (FusedSceneInferenceDP)")
+    ap.add_argument("--space-shard", action="store_true",
+                    help="spatially-sharded scene volumes (halo-sharded "
+                         "U-Net over all local devices) for scenes too "
+                         "big for one chip")
     args = ap.parse_args()
 
     from tdvnet.config import load_config
@@ -76,7 +84,17 @@ def main():
 
     variables = {"params": raw["params"],
                  "batch_stats": raw.get("batch_stats", {})}
-    pred_fn = make_3dvnet_pred_fn(model, variables, cfg)
+    mesh = None
+    if args.dp or args.space_shard:
+        from jax.sharding import Mesh
+
+        devs = np.array(jax.devices())
+        axis = "data" if args.dp else "space"
+        mesh = Mesh(devs.reshape(-1), (axis,))
+        print(f"{'DP' if args.dp else 'space-sharded'} eval over "
+              f"{devs.size} devices")
+    pred_fn = make_3dvnet_pred_fn(model, variables, cfg, mesh=mesh,
+                                  dp=args.dp)
     harness_main(args.name, pred_fn, cfg, depth=True,
                  overwrite=args.overwrite)
 

@@ -92,6 +92,10 @@ def main():
                     choices=["auto", "matmul", "gather"])
     ap.add_argument("--src-unroll", type=int, default=None)
     ap.add_argument("--skip-b23", action="store_true")
+    ap.add_argument("--c0", action="store_true",
+                    help="also split the stage-C scatter path "
+                         "(backproject/variance, voxelize, PointNet, "
+                         "dense scatter) at the 48-ref bench shapes")
     args = ap.parse_args()
 
     from tdvnet.config import load_config
@@ -179,6 +183,87 @@ def main():
                        for s in scales)
         time_chained(f"C1 SceneUNet({X}x{Y}x{Z}) [{args.impl}]", c1, t_rt,
                      arrays=(vu, vox, mask))
+
+    if args.c0:
+        # stage-C scatter path sub-ops at the 48-keyframe bench shapes
+        # (VERDICT r4 #2: ~45 ms of the 70 ms model_scene wall is NOT the
+        # U-Net — split point-cloud / voxelize / PointNet / dense-scatter)
+        from tdvnet.models.pointnet import PointNet
+        from tdvnet.ops import camera, costvolume
+        from tdvnet.ops import voxelize as vox_ops
+
+        Rb = 48
+        X, Y, Z = args.grid
+        NA = 65536                       # eval_max_anchors
+        edge = cfg.grid.edge_len
+        Nall = Rb + 2 * k
+        # reuse the ring cameras, extended to Rb refs
+        ths2 = np.linspace(0, 0.8, Nall)
+        rot2, tv2 = [], []
+        for th in ths2:
+            c_, s_ = np.cos(th), np.sin(th)
+            rot2.append(np.array([[c_, 0, s_], [0, 1, 0], [-s_, 0, c_]],
+                                 np.float32))
+            tv2.append(np.array([0.1 * th, 0, 2.0], np.float32))
+        rot2 = jnp.asarray(np.stack(rot2))
+        tv2 = jnp.asarray(np.stack(tv2))
+        Ks2 = jnp.asarray(np.tile(Km, (Nall, 1, 1)))
+        ref2 = jnp.arange(Rb, dtype=jnp.int32) + k
+        src2 = jnp.clip(ref2[:, None]
+                        + jnp.arange(-k, k + 1, dtype=jnp.int32)[None],
+                        0, Nall - 1)
+        smask2 = jnp.ones((Rb, 2 * k + 1), bool)
+        feats2 = jnp.asarray(rng.randn(Nall, 64, 80, C), dt)
+        depth2 = jnp.asarray(1.0 + rng.rand(Rb, h, w).astype(np.float32))
+        P = h * w
+
+        def pts_of(depth2):
+            return camera.backproject_grid(depth2, Ks2[ref2], rot2[ref2],
+                                           tv2[ref2], mc.img_size)
+
+        def ca(eps, depth2, feats2):
+            pts = pts_of(depth2 + eps)
+            var = costvolume.hypothesis_point_variance(
+                pts, feats2, src2, smask2, rot2, tv2, Ks2, mc.img_size)
+            return var.mean()
+        time_chained(f"C0a backproject+variance ({Rb}x{P})", ca, t_rt,
+                     arrays=(depth2, feats2))
+
+        pts0 = pts_of(depth2)
+        pts_flat0 = pts0.reshape(-1, 3)
+        scene0 = jnp.zeros((Rb * P,), jnp.int32)
+        valid0 = jnp.ones((Rb * P,), bool)
+
+        def cb(eps, pts_flat0):
+            vg = vox_ops.voxelize(pts_flat0 + eps, scene0, valid0, edge,
+                                  (X, Y, Z), NA, 1)
+            return vg.anchor_center.mean() + vg.point2anchor.sum() * 1e-9
+
+        time_chained(f"C0b voxelize ({Rb*P} pts, {NA} anchors)", cb, t_rt,
+                     arrays=(pts_flat0,))
+
+        vg0 = vox_ops.voxelize(pts_flat0, scene0, valid0, edge, (X, Y, Z),
+                               NA, 1)
+        pnet = PointNet(4 * C, 2 * C, dtype=dt)
+        xin0 = jnp.asarray(rng.randn(Rb * P, 3 + C), jnp.float32)
+        vp = pnet.init(jax.random.PRNGKey(0), xin0, vg0.point2anchor,
+                       vg0.point_valid, NA)
+
+        def cc(eps, vp, xin0, p2a, pvalid):
+            out = pnet.apply(vp, xin0 + eps, p2a, pvalid, NA)
+            return out.astype(jnp.float32).mean()
+        time_chained(f"C0c PointNet ({Rb*P} pts -> {NA} anchors)", cc, t_rt,
+                     arrays=(vp, xin0, vg0.point2anchor, vg0.point_valid))
+
+        af0 = jnp.asarray(rng.randn(NA, 2 * C), dt)
+
+        def cd(eps, af0):
+            dense, occ = vox_ops.scatter_anchors_to_dense(
+                af0 + eps.astype(dt), vg0, (X, Y, Z), 1)
+            return dense.astype(jnp.float32).mean() \
+                + occ.astype(jnp.float32).mean()
+        time_chained(f"C0d scatter_to_dense ({NA} -> {X}x{Y}x{Z})", cd,
+                     t_rt, arrays=(af0,))
 
 
 if __name__ == "__main__":
