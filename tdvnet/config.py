@@ -179,6 +179,12 @@ class EvalConfig:
     # offset pass in refinement iteration 2.  Acceptance gate: unseen
     # metrics within noise of the parity path (BASELINE.md).
     fast_path: bool = False
+    # fast-path rank-r spectral compression of the pointflow sampling
+    # interface (hypothesis.decoder_scene_projection): tables carry only
+    # the top-r directions the decoder's first conv can read, shrinking
+    # the dominant scene-gather rows by ~r/n_scene.  0 = off; gated by
+    # tools/fastpath_gate.py like every op-mix change.
+    fast_rank: int = 0
 
 
 @dataclass(frozen=True)

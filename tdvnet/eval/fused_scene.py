@@ -96,6 +96,33 @@ class FusedSceneInference:
         self.grid_cfg = GridConfig(
             edge_len=cfg.model.grid.edge_len, grid_size=e.eval_grid_size,
             max_anchors=e.eval_max_anchors)
+        # fast-path rank-r spectral compression of the sampling interface
+        # (hypothesis.decoder_scene_projection): host-side SVD of the
+        # decoder's first-conv scene weights, applied to the tables inside
+        # _refine_impl; the projected decoder params ride along as a jit
+        # argument (embedding them as closed-over constants would blow up
+        # the tunnel compile request)
+        self.fast_rank = int(getattr(e, "fast_rank", 0)) \
+            if self.fast_path else 0
+        self._proj_V = None
+        self._vars_fast = None
+        if self.fast_rank:
+            from tdvnet.models.hypothesis import decoder_scene_projection
+
+            dec = variables["params"]["decoder"]
+            n_in = np.asarray(dec["Conv_0"]["kernel"]).shape[1]
+            n_scene = n_in - cfg.model.feat_dim
+            if 0 < self.fast_rank < n_scene:
+                V, new_dec, tail = decoder_scene_projection(
+                    dec, cfg.model.feat_dim, self.fast_rank)
+                params_fast = dict(variables["params"])
+                params_fast["decoder"] = new_dec
+                self._vars_fast = dict(variables, params=params_fast)
+                self._proj_V = jnp.asarray(V)
+                print(f"fast-rank {self.fast_rank}/{n_scene}: discarded "
+                      f"interface spectral energy {tail:.4f}")
+            else:
+                self.fast_rank = 0
         self._prep = jax.jit(self._prep_impl,
                              static_argnames=("u8", "n_chunks", "unroll"))
         self._refine = jax.jit(self._refine_impl,
@@ -255,7 +282,7 @@ class FusedSceneInference:
     def _refine_impl(self, variables, imgs, feats_half, feats_quarter,
                      rot, tv, Ks, depth_all, n_refs,
                      grid_cfg: GridConfig, n_chunks: int,
-                     unroll: bool = False):
+                     unroll: bool = False, proj_V=None, vars_fast=None):
         from tdvnet.models.hypothesis import (_COMBINE_BUDGET_BYTES,
                                               combine_scales, pack_scales)
 
@@ -278,6 +305,17 @@ class FusedSceneInference:
             # merge nested scale lattices into one fine grid (exact):
             # 1 wide-row gather per query instead of 3 (+3 epilogues)
             scales = combine_scales(scales)
+            pf_vars = variables
+            if proj_V is not None and len(scales) == 1 \
+                    and scales[0]["grid"].shape[-1] == proj_V.shape[0]:
+                # rank-r interface projection (see __init__): tables carry
+                # V^T s, the decoder's modified first conv absorbs V
+                g = scales[0]["grid"]
+                gp = jnp.einsum("bxyzc,cr->bxyzr", g,
+                                proj_V.astype(g.dtype),
+                                preferred_element_type=g.dtype)
+                scales = [dict(scales[0], grid=gp)]
+                pf_vars = vars_fast
             if self.fast_path:
                 # int8 rows halve the bandwidth-bound gather bytes
                 # (docs/ROOFLINE.md §3); interpolation is linear per
@@ -299,13 +337,13 @@ class FusedSceneInference:
                           for sc, o in zip(scales, octs)]
 
             def pf_body(_, i, scales=scales, origins=origins,
-                        offsets=offsets):
+                        offsets=offsets, pf_vars=pf_vars):
                 r0 = i * CH
                 cb = self._chunk_frame_batch(cams, r0, n_refs, n_imgs_valid)
                 q = jax.lax.dynamic_slice_in_dim(feats_quarter, r0,
                                                  CH + 2 * k, axis=0)
                 dch = jax.lax.dynamic_slice_in_dim(depth_all, r0, CH, axis=0)
-                dnew = self.model.apply(variables, scales, origins, dch, q,
+                dnew = self.model.apply(pf_vars, scales, origins, dch, q,
                                         cb, offsets, 3, grid_cfg, False,
                                         method="run_pointflow_multi")
                 return None, dnew
@@ -417,7 +455,8 @@ class FusedSceneInference:
         ref_kwargs = dict(variables=self.variables, imgs=imgs_d,
                           feats_half=fh, feats_quarter=fq, rot=rot, tv=tv,
                           Ks=Ks, depth_all=depth_all, n_refs=np.int32(R),
-                          grid_cfg=gc, n_chunks=n_chunks)
+                          grid_cfg=gc, n_chunks=n_chunks,
+                          proj_V=self._proj_V, vars_fast=self._vars_fast)
         out, stats = self._refine(**ref_kwargs)
         self._count(self._refine, ref_kwargs, (gc, n_chunks))
         out_np = np.asarray(out)[:R]
@@ -488,7 +527,8 @@ class FusedSceneInference:
                       feats_quarter=fq, rot=st["cams"][0], tv=st["cams"][1],
                       Ks=st["cams"][2], depth_all=depth_all,
                       n_refs=np.int32(st["R"]), grid_cfg=gc,
-                      n_chunks=st["n_chunks"])
+                      n_chunks=st["n_chunks"],
+                      proj_V=self._proj_V, vars_fast=self._vars_fast)
         out, stats = self._refine(**kwargs)
         self._count(self._refine, kwargs, (gc, st["n_chunks"]))
         st["result"] = (out, stats)

@@ -164,6 +164,52 @@ def sample_scales(scales, pts: jnp.ndarray, origins: jnp.ndarray,
     return jnp.concatenate(feats[::-1], axis=-1)
 
 
+def decoder_scene_projection(decoder_params, n_var: int, rank: int):
+    """Rank-r spectral compression of the pointflow sampling interface
+    (eval fast path, VERDICT r4 #4 — the route past the parity gather
+    ceiling).
+
+    The HypothesisDecoder's first conv is LINEAR in the sampled scene
+    features: y[h] = sum_j K_j^T s[h+j] + (var terms).  Sampling is linear
+    in the table, so a basis change V applied to the TABLE ONCE per scene
+    iteration absorbs into the conv weights: table T -> T V, K_j -> V^T
+    K_j, and the decoder sees V V^T s instead of s.  With V = the top-r
+    left singular vectors of the stacked scene weights [K_-1 K_0 K_+1]
+    ([n_scene, 3*hidden]), V V^T s is the optimal rank-r approximation of
+    everything the first conv can extract — EXACT when r >= rank(stack).
+
+    Why: the pointflow scene gather is bandwidth/row-bound
+    (docs/ROOFLINE.md §3 D: 5 KB rows at the 78 GB/s gather ceiling =
+    23 ms/pass); sampled rows shrink from n_scene to r channels, so the
+    dominant term scales by ~r/n_scene (and drops into the ~11 ns/row
+    regime below ~1 KB rows).  Quality is judged by the standing unseen-
+    scene gate (tools/fastpath_gate.py), like every op-mix change.
+
+    decoder_params: the decoder's param subtree (first conv 'Conv_0'
+    kernel [taps, n_scene + n_var, hidden]).
+    Returns (V [n_scene, rank] fp32, new_decoder_params, tail_energy)
+    where tail_energy = sqrt(discarded spectral energy fraction).
+    """
+    import numpy as np
+
+    k = np.asarray(decoder_params["Conv_0"]["kernel"], np.float32)
+    T, n_in, H = k.shape
+    n_scene = n_in - n_var
+    assert 0 < rank < n_scene, (rank, n_scene)
+    scene = k[:, :n_scene, :]                       # [T, n_scene, H]
+    M = np.transpose(scene, (1, 0, 2)).reshape(n_scene, T * H)
+    U, S, _ = np.linalg.svd(M, full_matrices=False)
+    V = np.ascontiguousarray(U[:, :rank])           # [n_scene, r]
+    proj = np.einsum("cr,tch->trh", V, scene)       # [T, r, H]
+    new_k = np.concatenate([proj, k[:, n_scene:, :]], axis=1)
+    tail = float(np.sqrt(np.sum(S[rank:] ** 2)
+                         / max(np.sum(S ** 2), 1e-30)))
+    new_params = dict(decoder_params)
+    new_params["Conv_0"] = dict(decoder_params["Conv_0"],
+                                kernel=jnp.asarray(new_k))
+    return V, new_params, tail
+
+
 class HypothesisDecoder(nn.Module):
     hidden: int = 128
     ksize: int = 3

@@ -147,6 +147,9 @@ def warp_variance_matmul(feats, Hmat, src_mask, plane_size: Tuple[int, int],
               (from `plane_sweep_homographies`; src axis resolves feats
               via src_idx OUTSIDE — pass feats_g = feats[src_idx]).
     src_mask: [R, S] validity.
+    src_unroll: legacy knob — the source loop is now always a Python
+              unroll (dots-first/reduce-last, see `block` below); kept
+              for API compatibility and still validated >= 1.
     Returns var [R, D, h, w, C] float32.
 
     feats here must already be gathered per (ref, src): [R, S, Hf, Wf, C].
@@ -165,26 +168,25 @@ def warp_variance_matmul(feats, Hmat, src_mask, plane_size: Tuple[int, int],
     fx = feats.astype(weights_dtype)
 
     p_idx = jnp.arange(w, dtype=jnp.float32)
+    x_idx = jnp.arange(Wf, dtype=jnp.float32)
+    if src_unroll is not None and src_unroll < 1:
+        raise ValueError(f"src_unroll must be >= 1, got {src_unroll}")
 
     def block(carry, Hblk):
         # Hblk: [R, S, pb, 3, 3]
-        # per-step remat: the backward pass recomputes the (huge) hat
+        # per-source remat: the backward pass recomputes the (huge) hat
         # weight matrices from the homography coefficients instead of
         # keeping them as residuals (same pattern as the gather path)
         @jax.checkpoint
-        def src_step(acc, s):
-            acc_v, acc_sq = acc
+        def one_source(s):
             a, b, alpha, beta = _row_coeffs(Hblk[:, s], h)  # [R,pb,...]
             # pass 1: y-interp of every source column at the scanline
-            x_idx = jnp.arange(Wf, dtype=jnp.float32)
             v_col = (alpha[..., None] * x_idx
                      + beta[..., None])                     # [R,pb,h,Wf]
             Wy = _hat(v_col, Hf, weights_dtype)             # [R,pb,h,Wf,Hf]
             # hat rows have <=2 nonzeros, so the pass-1 contraction sums
             # only two products — emitting it in the weights dtype is
-            # harmless and halves the (huge) G intermediate's HBM traffic
-            # vs a fp32 emit + cast (fp32 variance accumulation below is
-            # untouched; the fp32-weights path keeps fp32 throughout)
+            # harmless and halves the G intermediate's HBM traffic
             G = jnp.einsum("rdqxy,ryxc->rdqxc", Wy, fx[:, s],
                            preferred_element_type=weights_dtype)
             # pass 2: x-interp at u(q, p)
@@ -192,28 +194,26 @@ def warp_variance_matmul(feats, Hmat, src_mask, plane_size: Tuple[int, int],
             den = a[..., None, 2:3] * p_idx + b[..., 2:3]
             u = num / den
             Wx = _hat(u, Wf, weights_dtype)                 # [R,pb,h,w,Wf]
-            out = jnp.einsum("rdqpx,rdqxc->rdqpc", Wx, G,
-                             preferred_element_type=jnp.float32)
-            m = mask_f[:, s][:, None, None, None, None]
-            return (acc_v + out * m, acc_sq + out * out * m), None
+            # emit per-source warped values in the weights dtype (the
+            # gather path samples features in their storage dtype too);
+            # the variance reduction below accumulates in fp32
+            return jnp.einsum("rdqpx,rdqxc->rdqpc", Wx, G,
+                              preferred_element_type=weights_dtype)
 
-        z = jnp.zeros((Rr, plane_block, h, w, C), jnp.float32)
-        # default unroll: scan carries become SSA values XLA keeps fused
-        # with the pass-2 dot epilogues instead of round-tripping the two
-        # fp32 [R,pb,h,w,C] accumulators to HBM every source step —
-        # measured 77.7 -> 44.2 ms/exec at the 18-ref eval shapes
-        # (tools/profile_initial_depth.py --src-unroll); the per-step
-        # @jax.checkpoint still bounds backward memory per source.
-        # Capped at 8: the win was measured at S=5 eval shapes, and full
-        # unroll at large S only grows compile time/program size
-        # (ADVICE r4); src_unroll=0/negative is rejected rather than
-        # silently breaking lax.scan
-        u = min(S, 8) if src_unroll is None else src_unroll
-        if u < 1:
-            raise ValueError(f"src_unroll must be >= 1, got {u}")
-        (acc_v, acc_sq), _ = jax.lax.scan(src_step, (z, z), jnp.arange(S),
-                                          unroll=u)
+        # dots-first, reduce-last (round 5): every source's two dots run
+        # with NO accumulator carries between them, then ONE fusion
+        # reduces the S outputs into the variance.  The previous unrolled
+        # scan chained acc = acc + f(dot_s) across sources, forcing XLA
+        # to round-trip two fp32 [R,pb,h,w,C] accumulators through HBM
+        # around every dot — measured 63.3 -> 55.8 ms/exec at the 18-ref
+        # eval shapes (tools/exp_warp_variants.py), and the accumulators
+        # vanish from the live set entirely
+        outs = [one_source(s) for s in range(S)]
         denom = cnt[:, None, None, None, None]
+        msk = [mask_f[:, s][:, None, None, None, None] for s in range(S)]
+        acc_v = sum(o.astype(jnp.float32) * m for o, m in zip(outs, msk))
+        acc_sq = sum(jnp.square(o.astype(jnp.float32)) * m
+                     for o, m in zip(outs, msk))
         mean = acc_v / denom
         return carry, acc_sq / denom - mean * mean
 

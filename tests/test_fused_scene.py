@@ -179,3 +179,31 @@ def test_fused_matches_chunked_trained_weights_realistic_grid():
         m = (gt >= 0.5) & (gt < 65.0)
         return float((np.abs(p - gt) / gt)[m].mean())
     assert ar(d_fused) <= ar(d_ref) * 1.15 + 0.01
+
+
+@pytest.mark.slow
+def test_fused_fast_rank_projection():
+    """fast_rank plumbing: with r = 3*decoder_hidden (exact regime for
+    the tiny decoder), the rank-projected fast path must match the plain
+    fast path closely (the only differences are int8 quantization of the
+    rotated channel basis and a mm fetch)."""
+    from tdvnet.eval.fused_scene import FusedSceneInference
+
+    model, variables, cfg, views = _setup()
+    offs = [[0.05, 0.025]]
+    plain = FusedSceneInference(model, variables, cfg, offsets_list=offs,
+                                fetch_mm=False, fast_path=True)
+    d_plain = plain.predict_scene(views)
+
+    cfg_r = dataclasses.replace(cfg, eval=dataclasses.replace(
+        cfg.eval, fast_rank=3 * cfg.model.decoder_hidden))
+    ranked = FusedSceneInference(model, variables, cfg_r,
+                                 offsets_list=offs, fetch_mm=False,
+                                 fast_path=True)
+    assert ranked._proj_V is not None, "projection should be active"
+    d_rank = ranked.predict_scene(views)
+
+    assert np.isfinite(d_rank).all()
+    # int8 tables in a rotated basis: allow quantization-scale slack
+    np.testing.assert_allclose(d_rank, d_plain, rtol=0, atol=2e-2)
+    assert np.abs(d_rank - d_plain).mean() < 3e-3

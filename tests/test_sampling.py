@@ -281,3 +281,48 @@ def test_fast_path_fused_scene_close_to_parity():
     diff = np.abs(d_fast - d_par)
     assert np.median(diff) < 0.01
     assert diff.mean() < 0.02
+
+
+def test_decoder_scene_projection_exact_when_full_rank():
+    """decoder_scene_projection: with r >= rank of the stacked first-conv
+    scene weights (<= taps*hidden), the projected interface is EXACT —
+    decoder(concat(s, var); params) == decoder(concat(s V, var); params')
+    for arbitrary sampled features s."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tdvnet.models.hypothesis import (HypothesisDecoder,
+                                          decoder_scene_projection)
+
+    n_scene, n_var, hidden, H = 40, 8, 8, 7
+    rank = 3 * hidden            # >= rank([K_-1 K_0 K_+1])
+    dec = HypothesisDecoder(hidden=hidden, ksize=3)
+    rng = np.random.RandomState(0)
+    feats = jnp.asarray(rng.randn(64, H, n_scene + n_var), jnp.float32)
+    variables = dec.init(jax.random.PRNGKey(1), feats, False)
+
+    V, new_params, tail = decoder_scene_projection(
+        variables["params"], n_var, rank)
+    assert tail < 1e-5, tail
+
+    s, var = feats[..., :n_scene], feats[..., n_scene:]
+    sp = jnp.einsum("mhc,cr->mhr", s, jnp.asarray(V))
+    feats_p = jnp.concatenate([sp, var], axis=-1)
+
+    y0 = dec.apply(variables, feats, False)
+    y1 = dec.apply({"params": new_params,
+                    "batch_stats": variables.get("batch_stats", {})},
+                   feats_p, False)
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y0),
+                               rtol=2e-5, atol=2e-5)
+
+    # truncated rank is a strict approximation but still a distribution
+    V2, new_params2, tail2 = decoder_scene_projection(
+        variables["params"], n_var, 12)
+    assert tail2 > 0
+    sp2 = jnp.einsum("mhc,cr->mhr", s, jnp.asarray(V2))
+    y2 = dec.apply({"params": new_params2,
+                    "batch_stats": variables.get("batch_stats", {})},
+                   jnp.concatenate([sp2, var], axis=-1), False)
+    np.testing.assert_allclose(np.asarray(y2).sum(axis=-1), 1.0, rtol=1e-4)

@@ -33,6 +33,9 @@ def main():
     ap.add_argument("--fast-path", action="store_true",
                     help="validated fast path: int8 scene tables + "
                          "adaptive iter-2 offsets")
+    ap.add_argument("--fast-rank", type=int, default=0,
+                    help="fast-path rank-r sampling-interface projection "
+                         "(0 = off; see EvalConfig.fast_rank)")
     ap.add_argument("--name", default=None,
                     help="results dirname (default: 3dvnet / "
                          "3dvnet_fast / gt_passthrough)")
@@ -60,7 +63,8 @@ def main():
                  "pdist": 0.05, "n_src_on_either_side": 2,
                  "eval_grid_size": tuple(args.eval_grid),
                  "eval_max_anchors": 65536,
-                 "fast_path": args.fast_path},
+                 "fast_path": args.fast_path,
+                 "fast_rank": args.fast_rank},
     })
 
     if args.ckpt_dir:
