@@ -94,6 +94,9 @@ def main():
     ap.add_argument("--skip-train-fwd", action="store_true",
                     help="skip the training-shape forward measurement "
                          "(eval-only quick run)")
+    ap.add_argument("--fast-rank", type=int, default=None,
+                    help="fast-path sampling-interface rank (default: "
+                         "EvalConfig.fast_rank)")
     args, _ = ap.parse_known_args()
 
     dev = jax.devices()[0]
@@ -101,7 +104,9 @@ def main():
     peak = CHIP_PEAKS.get(chip)
     peak_fl = peak["bf16_tflops"] * 1e12 if peak else None
 
-    cfg = load_config({"batch": {"n_scenes": 1, "n_ref": 7}})
+    cfg = load_config({"batch": {"n_scenes": 1, "n_ref": 7},
+                       **({"eval": {"fast_rank": args.fast_rank}}
+                          if args.fast_rank is not None else {})})
     cfg = dataclasses.replace(
         cfg, model=dataclasses.replace(cfg.model, dtype=jnp.bfloat16))
     bc = cfg.batch

@@ -166,6 +166,7 @@ class NeuralReconNet(nn.Module):
         prev_feats = None
         mask = None
         occ_all = []
+        tsdf_all = []
         for lvl, s in enumerate(SCALES):           # coarse → fine
             dims = tuple(d // s for d in dims_fine)
             vsize = voxel_fine * s
@@ -181,8 +182,9 @@ class NeuralReconNet(nn.Module):
                 mask = jnp.minimum(_upsample3d(mask[0])[None][..., :1]
                                    + valid[None], 1.0)
             x = self.adj[lvl](x, mask)
-            x, occ, tsdf = self.scale_nets[lvl](x, mask)
+            x, occ, tsdf_lvl = self.scale_nets[lvl](x, mask)
             occ_all.append(occ[0])
+            tsdf_all.append(tsdf_lvl[0])
             # sparsify: next level only where this level is occupied
             occ_mask = (nn.sigmoid(occ) > OCC_THRESH).astype(jnp.float32)
             mask = mask * occ_mask[..., None]
@@ -192,12 +194,17 @@ class NeuralReconNet(nn.Module):
         tsdf = 1.05 * jnp.tanh(self.final_tsdf(h_new)[..., 0])
         final_mask = mask[0, ..., 0]
         tsdf = jnp.where(final_mask > 0, tsdf, 1.0)
-        return tsdf, occ_all, h_new, final_mask
+        return tsdf, occ_all, tsdf_all, h_new, final_mask
 
 
-def neuralrecon_loss(occ_all, tsdf, gt_tsdf, gt_weight, dims_fine):
-    """BCE occupancy at each scale + L1 log-TSDF at the finest
-    (`neucon_network.py` losses)."""
+def neuralrecon_loss(occ_all, tsdf, gt_tsdf, gt_weight, dims_fine,
+                     tsdf_all=None):
+    """BCE occupancy + L1 log-TSDF at EVERY scale (each level's tsdf head
+    is supervised like the reference `neucon_network.py:165-175`, which
+    calls `compute_loss(tsdf, occ, ...)` per level), plus L1 log-TSDF on
+    the final fused volume.  tsdf_all=None reproduces the pre-round-5
+    finest-only supervision (the per-level heads then get no gradient —
+    the round-4 "TSDF never crosses zero" failure mode)."""
     logt = lambda x: jnp.sign(x) * jnp.log1p(jnp.abs(x))
     total = 0.0
     for lvl, s in enumerate(SCALES):
@@ -212,6 +219,11 @@ def neuralrecon_loss(occ_all, tsdf, gt_tsdf, gt_weight, dims_fine):
         bce = jnp.maximum(logits, 0) - logits * occ_gt \
             + jnp.log1p(jnp.exp(-jnp.abs(logits)))
         total = total + jnp.sum(bce * m) / jnp.maximum(jnp.sum(m), 1.0)
+        if tsdf_all is not None:
+            # per-level heads are already 1.05*tanh-bounded (_ScaleNet)
+            total = total \
+                + jnp.sum(jnp.abs(logt(tsdf_all[lvl]) - logt(gt_s)) * m) \
+                / jnp.maximum(jnp.sum(m), 1.0)
     m = (gt_weight > 0).astype(jnp.float32)
     total = total + jnp.sum(jnp.abs(logt(tsdf) - logt(gt_tsdf)) * m) \
         / jnp.maximum(jnp.sum(m), 1.0)
@@ -282,9 +294,9 @@ def make_pred_fn(model: NeuralReconNet, variables,
                 imgs = np.concatenate([imgs, np.repeat(imgs[-1:], pad, 0)], 0)
                 P = np.concatenate([P, np.repeat(P[-1:], pad, 0)], 0)
 
-            tsdf, _, h_new, fmask = run(variables, jnp.asarray(imgs),
-                                        jnp.asarray(P), jnp.asarray(origin),
-                                        h_prev)
+            tsdf, _, _, h_new, fmask = run(variables, jnp.asarray(imgs),
+                                           jnp.asarray(P),
+                                           jnp.asarray(origin), h_prev)
             tsdf = np.asarray(tsdf)
             fmask = np.asarray(fmask)
             g_h[sl] = np.asarray(h_new)

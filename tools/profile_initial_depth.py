@@ -195,7 +195,7 @@ def main():
         Rb = 48
         X, Y, Z = args.grid
         NA = 65536                       # eval_max_anchors
-        edge = cfg.grid.edge_len
+        edge = mc.grid.edge_len
         Nall = Rb + 2 * k
         # reuse the ring cameras, extended to Rb refs
         ths2 = np.linspace(0, 0.8, Nall)

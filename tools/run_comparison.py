@@ -335,10 +335,14 @@ def method_neuralrecon(args, train_views, cfg):
     model, variables = NR.init_neuralrecon(jax.random.PRNGKey(0), IMG, dims)
 
     def loss_fn(params, batch_stats, images, P, origin, h0, gt, gtw):
-        (tsdf, occ_all, h_new, fmask), upd = model.apply(
+        (tsdf, occ_all, tsdf_all, h_new, fmask), upd = model.apply(
             {"params": params, "batch_stats": batch_stats}, images, P,
             origin, dims, h0, voxel, True, mutable=["batch_stats"])
-        return (NR.neuralrecon_loss(occ_all, tsdf, gt, gtw, dims),
+        # per-level TSDF supervision (reference neucon_network.py:165-175
+        # supervises every level's tsdf head) — round-5 fix for the
+        # "TSDF head never crosses zero" empty-mesh failure
+        return (NR.neuralrecon_loss(occ_all, tsdf, gt, gtw, dims,
+                                    tsdf_all=tsdf_all),
                 upd["batch_stats"])
 
     tx = optax.adam(1e-3)
