@@ -57,14 +57,17 @@ def per_scene_metrics(results_dir: str, name: str):
 
 
 def run_path(workdir: str, ckpt: str, n_scenes: int, fast: bool,
-             seed_base: int, views: int, extra: list):
-    name = "gate_fast" if fast else "gate_parity"
+             seed_base: int, views: int, extra: list, fast_rank: int = 0):
+    name = ("gate_fast" + (f"_r{fast_rank}" if fast_rank else "")) \
+        if fast else "gate_parity"
     cmd = [sys.executable, os.path.join(REPO, "tools", "run_synthetic_eval.py"),
            "--workdir", workdir, "--scenes", str(n_scenes),
            "--views", str(views), "--ckpt-dir", ckpt,
            "--seed-base", str(seed_base), "--name", name] + extra
     if fast:
         cmd.append("--fast-path")
+    if fast_rank:
+        cmd += ["--fast-rank", str(fast_rank)]
     print("+ " + " ".join(cmd), flush=True)
     subprocess.run(cmd, check=True)
     return per_scene_metrics(os.path.join(workdir, "results"), name)
@@ -91,21 +94,27 @@ def main():
                                                    "3dvnet_synth48.npz"))
     ap.add_argument("--tol-abs-rel", type=float, default=0.002)
     ap.add_argument("--tol-fscore", type=float, default=0.01)
+    ap.add_argument("--fast-rank", type=int, default=0,
+                    help="rank-r sampling-interface projection for the "
+                         "fast path under test (0 = plain fast path)")
     ap.add_argument("--skip-run", action="store_true",
                     help="only re-aggregate existing results")
     args = ap.parse_args()
 
     extra = []
+    fast_name = "gate_fast" + (f"_r{args.fast_rank}" if args.fast_rank
+                               else "")
     if args.skip_run:
         parity = per_scene_metrics(os.path.join(args.workdir, "results"),
                                    "gate_parity")
         fast = per_scene_metrics(os.path.join(args.workdir, "results"),
-                                 "gate_fast")
+                                 fast_name)
     else:
         parity = run_path(args.workdir, args.ckpt, args.scenes, False,
                           args.seed_base, args.views, extra)
         fast = run_path(args.workdir, args.ckpt, args.scenes, True,
-                        args.seed_base, args.views, extra)
+                        args.seed_base, args.views, extra,
+                        fast_rank=args.fast_rank)
 
     common = sorted(set(parity) & set(fast))
     assert len(common) >= 2, f"need >=2 common scenes, got {common}"
@@ -133,7 +142,11 @@ def main():
     report["criteria"] = {"tol_abs_rel": args.tol_abs_rel,
                           "tol_fscore": args.tol_fscore}
 
-    out_path = os.path.join(args.workdir, "gate_report.json")
+    report["fast_rank"] = args.fast_rank
+    out_path = os.path.join(
+        args.workdir,
+        "gate_report.json" if not args.fast_rank
+        else f"gate_report_r{args.fast_rank}.json")
     json.dump(report, open(out_path, "w"), indent=1)
 
     print(f"\n## Fast-path quality gate — {len(common)} unseen scenes "
