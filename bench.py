@@ -97,6 +97,9 @@ def main():
     ap.add_argument("--fast-rank", type=int, default=None,
                     help="fast-path sampling-interface rank (default: "
                          "EvalConfig.fast_rank)")
+    ap.add_argument("--fast-patch", action="store_true",
+                    help="fast-path patch-fan image variance "
+                         "(EvalConfig.fast_patch)")
     args, _ = ap.parse_known_args()
 
     dev = jax.devices()[0]
@@ -105,8 +108,13 @@ def main():
     peak_fl = peak["bf16_tflops"] * 1e12 if peak else None
 
     cfg = load_config({"batch": {"n_scenes": 1, "n_ref": 7},
-                       **({"eval": {"fast_rank": args.fast_rank}}
-                          if args.fast_rank is not None else {})})
+                       **({"eval": {
+                           **({"fast_rank": args.fast_rank}
+                              if args.fast_rank is not None else {}),
+                           **({"fast_patch": True}
+                              if args.fast_patch else {})}}
+                          if (args.fast_rank is not None
+                              or args.fast_patch) else {})})
     cfg = dataclasses.replace(
         cfg, model=dataclasses.replace(cfg.model, dtype=jnp.bfloat16))
     bc = cfg.batch

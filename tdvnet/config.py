@@ -185,6 +185,11 @@ class EvalConfig:
     # the dominant scene-gather rows by ~r/n_scene.  0 = off; gated by
     # tools/fastpath_gate.py like every op-mix change.
     fast_rank: int = 0
+    # fast-path patch-fan image variance: one 4x4-patch gather per
+    # (pixel, source) serves the whole depth-hypothesis fan in pointflow
+    # (ops/costvolume.hypothesis_patch_variance) — (2n+1)x fewer gather
+    # rows for the second-largest pointflow term.  Gated like fast_rank.
+    fast_patch: bool = False
 
 
 @dataclass(frozen=True)

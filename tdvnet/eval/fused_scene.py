@@ -27,6 +27,7 @@ halve the download.
 from __future__ import annotations
 
 import functools
+import os
 import time
 from typing import Dict, List, Optional, Sequence, Tuple
 
@@ -104,6 +105,8 @@ class FusedSceneInference:
         # the tunnel compile request)
         self.fast_rank = int(getattr(e, "fast_rank", 0)) \
             if self.fast_path else 0
+        self.fast_patch = bool(getattr(e, "fast_patch", False)) \
+            and self.fast_path
         self._proj_V = None
         self._vars_fast = None
         if self.fast_rank:
@@ -345,6 +348,7 @@ class FusedSceneInference:
                 dch = jax.lax.dynamic_slice_in_dim(depth_all, r0, CH, axis=0)
                 dnew = self.model.apply(pf_vars, scales, origins, dch, q,
                                         cb, offsets, 3, grid_cfg, False,
+                                        self.fast_patch,
                                         method="run_pointflow_multi")
                 return None, dnew
             d_chunks = _scan_chunks(pf_body, n_chunks, unroll)
@@ -516,6 +520,14 @@ class FusedSceneInference:
                       n_refs=np.int32(R), u8=u8, n_chunks=n_chunks)
         prep_out = self._prep(**kwargs)
         self._count(self._prep, kwargs, (u8, n_chunks))
+        # start the bbox D2H transfer as soon as the value exists on
+        # device: turns the later blocking np.asarray from a
+        # request+response tunnel roundtrip into a local wait (the bytes
+        # are already streaming) — part of the VERDICT r4 #8 bubble
+        try:
+            prep_out[4].copy_to_host_async()
+        except (AttributeError, RuntimeError):
+            pass
         return {"out": prep_out, "cams": cams, "R": R, "n_chunks": n_chunks}
 
     def _dispatch_refine(self, st):
@@ -553,13 +565,18 @@ class FusedSceneInference:
         """
         import concurrent.futures as cf
 
+        timeline = os.environ.get("TDVNET_EVAL_TIMELINE", "") not in ("", "0")
+        self.timeline = [] if timeline else None
+
         it = iter(scene_iter)
         prev = None
         fetch_pool = cf.ThreadPoolExecutor(1)
         fut = None
         try:
             for views in it:
+                t0 = time.perf_counter()
                 st = self._dispatch_prep(views)       # uploads overlap
+                t1 = time.perf_counter()
                 if prev is not None:
                     # result download on a worker thread: the main thread
                     # proceeds straight to the bbox fetch + refine dispatch
@@ -567,9 +584,21 @@ class FusedSceneInference:
                     # download streams while the next dispatch goes up
                     fut = fetch_pool.submit(self._fetch, prev)
                 self._dispatch_refine(st)
+                t2 = time.perf_counter()
                 if fut is not None:
                     yield fut.result()
                     fut = None
+                t3 = time.perf_counter()
+                if timeline:
+                    # prep_dispatch: host pad/upload/enqueue of this scene;
+                    # bbox_wait+refine_dispatch: blocks on the DEVICE
+                    # finishing the previous refine + this prep (steady-
+                    # state device wall lives here); yield_wait: residual
+                    # result-download not hidden by the refine dispatch
+                    self.timeline.append({
+                        "prep_dispatch_s": t1 - t0,
+                        "bbox_refine_dispatch_s": t2 - t1,
+                        "yield_wait_s": t3 - t2})
                 prev = st
             if prev is not None:
                 yield self._fetch(prev)

@@ -106,11 +106,16 @@ class ThreeDVNet(nn.Module):
 
         centers = jnp.concatenate(
             [vg.anchor_center, jnp.zeros((1, 3), jnp.float32)], axis=0)
+        # sorted-order PointNet (round 5): permute points into anchor-sorted
+        # order once, then all 4 segment-max pools + 3 pooled-gathers run
+        # over nondecreasing ids (see PointNet.indices_are_sorted)
+        ordr = vg.order
         x = jnp.concatenate(
-            [pts_flat - centers[vg.point2anchor],
-             feats.reshape(R * P, -1)], axis=-1)                 # [RP, 3+C]
-        anchor_feats = self.pointnet(x, vg.point2anchor, vg.point_valid,
-                                     g.max_anchors)              # [A, 2f]
+            [pts_flat[ordr] - centers[vg.p2a_sorted],
+             feats.reshape(R * P, -1)[ordr]], axis=-1)           # [RP, 3+C]
+        anchor_feats = self.pointnet(x, vg.p2a_sorted,
+                                     vg.point_valid[ordr], g.max_anchors,
+                                     indices_are_sorted=True)    # [A, 2f]
         dense, occ = vox.scatter_anchors_to_dense(anchor_feats, vg,
                                                   g.grid_size, B)
         stats = {"n_out_of_grid": vg.n_out_of_grid,
@@ -161,7 +166,7 @@ class ThreeDVNet(nn.Module):
     def run_pointflow(self, scales, origins, depth_pred, feats_quarter,
                       batch: FrameBatch, offset: float, n: int = 3,
                       grid_cfg: Optional[GridConfig] = None,
-                      train: bool = False):
+                      train: bool = False, patch_variance: bool = False):
         """Score 2n+1 depth-offset hypotheses per pixel; return the expected
         depth correction [R, h, w] (ref `run_pointflow`, :187-242)."""
         g = grid_cfg or self.cfg.grid
@@ -187,10 +192,19 @@ class ThreeDVNet(nn.Module):
         pts_hyp = jax.lax.stop_gradient(pts_hyp)
 
         # image variance feature per hypothesis point (grads → feats only)
-        var = costvolume.hypothesis_point_variance(
-            pts_hyp.reshape(R, H * P, 3), feats_quarter, batch.src_idx,
-            batch.src_mask, batch.rotmats, batch.tvecs, batch.K,
-            self.cfg.img_size)                                   # [R, HP, C]
+        if patch_variance:
+            # fast path: one 4x4-patch gather per (pixel, src) serves the
+            # whole hypothesis fan (quality-gated, see
+            # costvolume.hypothesis_patch_variance)
+            var = costvolume.hypothesis_patch_variance(
+                pts_hyp, feats_quarter, batch.src_idx, batch.src_mask,
+                batch.rotmats, batch.tvecs, batch.K,
+                self.cfg.img_size).reshape(R, H * P, -1)
+        else:
+            var = costvolume.hypothesis_point_variance(
+                pts_hyp.reshape(R, H * P, 3), feats_quarter, batch.src_idx,
+                batch.src_mask, batch.rotmats, batch.tvecs, batch.K,
+                self.cfg.img_size)                               # [R, HP, C]
 
         # scene features: group queries per scene (ref slots are contiguous)
         q = pts_hyp.reshape(B, n_ref * H * P, 3)
@@ -212,7 +226,8 @@ class ThreeDVNet(nn.Module):
     def run_pointflow_multi(self, scales, origins, depth_pred, feats_quarter,
                             batch: FrameBatch, offsets, n: int = 3,
                             grid_cfg: Optional[GridConfig] = None,
-                            train: bool = False):
+                            train: bool = False,
+                            patch_variance: bool = False):
         """All of one refinement iteration's offset passes in a single
         graph (ref inner loop `eval-3dvnet.py:83-88`): depth carries
         between the statically-unrolled passes.  One device dispatch per
@@ -221,7 +236,8 @@ class ThreeDVNet(nn.Module):
         for off in offsets:
             depth_pred = depth_pred + self.run_pointflow(
                 scales, origins, depth_pred, feats_quarter, batch,
-                float(off), n, grid_cfg, train)
+                float(off), n, grid_cfg, train,
+                patch_variance=patch_variance)
         return depth_pred
 
     def upsample(self, depth_pred, feats_half, feats_quarter, images,

@@ -175,3 +175,56 @@ def hypothesis_point_variance(pts_world: jnp.ndarray, feats: jnp.ndarray,
     var, _ = _source_variance(pts_world, feats, src_idx, src_mask, P_all,
                               img_size)
     return var
+
+
+def hypothesis_patch_variance(pts_hyp: jnp.ndarray, feats: jnp.ndarray,
+                              src_idx: jnp.ndarray, src_mask: jnp.ndarray,
+                              rotmats: jnp.ndarray, tvecs: jnp.ndarray,
+                              K: jnp.ndarray,
+                              img_size: Tuple[int, int]) -> jnp.ndarray:
+    """Fast-path variance over depth-hypothesis fans: one 4x4-patch gather
+    per (pixel, source) serves every hypothesis of that pixel.
+
+    pts_hyp: [R, Hh, P, 3] — the Hh hypotheses of each of P pixels (fan
+    along the ref ray, `mv3d/subnetworks/refinement.py:16-44` /
+    `run_pointflow`).  Returns [R, Hh, P, C] fp32 — same contract as
+    `hypothesis_point_variance` on the reshaped points.
+
+    Exactness: identical to the quad path whenever each hypothesis's
+    bilinear anchor is within +-1 texel of the center hypothesis's (the
+    epipolar-span condition, see `pack_bilinear_patches`); otherwise the
+    sample clamps to the patch edge.  Quality-gated op-mix change
+    (tools/fastpath_gate.py), OFF in the strict-parity path.
+    """
+    from tdvnet.ops.sampling import (pack_bilinear_patches,
+                                     patch_sample_hypotheses_batched)
+
+    R, Hh, P, _ = pts_hyp.shape
+    S = src_idx.shape[1]
+    Hf, Wf, C = feats.shape[1:]
+    H, W = img_size
+    scale = jnp.array([(Wf - 1.0) / (W - 1.0), (Hf - 1.0) / (H - 1.0)],
+                      dtype=jnp.float32)
+    cnt = jnp.maximum(jnp.sum(src_mask.astype(jnp.float32), axis=1), 1.0)
+    P_all = camera.projection_matrix(K, rotmats, tvecs)
+    patches = jax.vmap(pack_bilinear_patches)(feats)
+    c_h = Hh // 2
+    flat = pts_hyp.reshape(R, Hh * P, 3)
+
+    @jax.checkpoint
+    def body(carry, s):
+        acc, acc_sq = carry
+        idx = src_idx[:, s]                              # [R]
+        xy, _ = camera.project_points(flat, P_all[idx])
+        xy = (xy * scale).reshape(R, Hh, P, 2)
+        f = patch_sample_hypotheses_batched(
+            patches[idx], xy[:, c_h], xy, (Hf, Wf))      # [R, Hh, P, C]
+        m = src_mask[:, s].astype(jnp.float32)[:, None, None, None]
+        return (acc + f * m, acc_sq + f * f * m), None
+
+    init = (jnp.zeros((R, Hh, P, C), jnp.float32),
+            jnp.zeros((R, Hh, P, C), jnp.float32))
+    (acc, acc_sq), _ = jax.lax.scan(body, init, jnp.arange(S))
+    denom = cnt[:, None, None, None]
+    mean = acc / denom
+    return acc_sq / denom - mean * mean

@@ -110,6 +110,92 @@ bilinear_sample_quads_batched = jax.vmap(bilinear_sample_quads,
                                          in_axes=(0, 0, None))
 
 
+PATCH_K = 4  # 4x4 tap patch: covers hypothesis anchors within +-1 texel
+             # of the center hypothesis's anchor
+
+
+def pack_bilinear_patches(feat: jnp.ndarray) -> jnp.ndarray:
+    """Pack each 4x4 tap neighborhood into one gather row.
+
+    feat: [H, W, C] → [(H+1)*(W+1), 16C] where row (y0+1)*(W+1)+(x0+1)
+    holds the taps (y0-1..y0+2, x0-1..x0+2) of the ZERO-PADDED map, in
+    dy-major dx-minor order.
+
+    Why (round 5, pointflow fast path): the 2n+1 depth hypotheses of one
+    pixel project onto a sub-texel epipolar span per source view
+    (quarter-res disparity f*B*(2n*offset)/d^2 ~ 0.2-1.8 texels across
+    all 7 at the eval geometry), so ONE patch row centered on the middle
+    hypothesis serves every hypothesis's bilinear footprint — (2n+1)x
+    fewer gather rows, and the 16C row (1 KB at C=32 bf16) sits exactly
+    at the measured per-row/bandwidth crossover
+    (tools/bench_gather_variants.py).  Taps outside the image are zero
+    (grid_sample zeros-padding, `mv3d/subnetworks/refinement.py:76`)."""
+    H, W, C = feat.shape
+    pp = jnp.pad(feat, ((2, 2), (2, 2), (0, 0)))       # [H+4, W+4, C]
+    # anchor a_y = y0+1 in [0, H]; tap dy reads pp[a_y + dy] (see derivation
+    # in patch_sample_hypotheses)
+    q = jnp.concatenate([pp[dy:dy + H + 1, dx:dx + W + 1]
+                         for dy in range(PATCH_K) for dx in range(PATCH_K)],
+                        axis=-1)                       # [H+1, W+1, 16C]
+    return q.reshape((H + 1) * (W + 1), PATCH_K * PATCH_K * C)
+
+
+def patch_sample_hypotheses(patches: jnp.ndarray, xy_c: jnp.ndarray,
+                            xy_h: jnp.ndarray, img_hw) -> jnp.ndarray:
+    """Bilinear-sample all hypotheses of each pixel from one patch row.
+
+    patches: [(H+1)*(W+1), 16C] (pack_bilinear_patches); xy_c: [P, 2]
+    center-hypothesis coords (feature-grid pixels); xy_h: [Hh, P, 2] all
+    hypotheses' coords; img_hw: (H, W) of the original map.
+
+    Exact vs per-hypothesis `bilinear_sample_quads` whenever each
+    hypothesis's anchor lies within +-1 texel of the center anchor (the
+    epipolar-span condition above); outside, the local coordinate clamps
+    to the patch edge (approximation — quality-gated, the fast path's
+    acceptance harness is tools/fastpath_gate.py).  A hypothesis whose
+    own footprint is fully outside the image returns 0 (same mask rule
+    as the quad path)."""
+    H, W = img_hw
+    KK = PATCH_K * PATCH_K
+    C = patches.shape[-1] // KK
+    xc0 = jnp.floor(xy_c[:, 0]).astype(jnp.int32)
+    yc0 = jnp.floor(xy_c[:, 1]).astype(jnp.int32)
+    inb_c = (xc0 >= -1) & (xc0 <= W - 1) & (yc0 >= -1) & (yc0 <= H - 1)
+    xi = jnp.clip(xc0 + 1, 0, W)
+    yi = jnp.clip(yc0 + 1, 0, H)
+    rows = jnp.take(patches, yi * (W + 1) + xi, axis=0)   # [P, 16C]
+    patch = rows.reshape(-1, PATCH_K, PATCH_K, C)
+
+    # local continuous coords inside the patch (patch origin = anchor - 1)
+    lx = xy_h[..., 0] - (xc0.astype(jnp.float32) - 1.0)   # [Hh, P]
+    ly = xy_h[..., 1] - (yc0.astype(jnp.float32) - 1.0)
+    lx = jnp.clip(lx, 0.0, PATCH_K - 1 - 1e-4)
+    ly = jnp.clip(ly, 0.0, PATCH_K - 1 - 1e-4)
+    ix = jnp.clip(jnp.floor(lx).astype(jnp.int32), 0, PATCH_K - 2)
+    iy = jnp.clip(jnp.floor(ly).astype(jnp.int32), 0, PATCH_K - 2)
+    fx = (lx - ix.astype(jnp.float32)).astype(patch.dtype)
+    fy = (ly - iy.astype(jnp.float32)).astype(patch.dtype)
+
+    # per-hypothesis in-bounds mask: same anchor rule as the quad path,
+    # AND the center row must be real (a clamped center row holds the
+    # wrong neighborhood)
+    xh0 = jnp.floor(xy_h[..., 0]).astype(jnp.int32)
+    yh0 = jnp.floor(xy_h[..., 1]).astype(jnp.int32)
+    inb = ((xh0 >= -1) & (xh0 <= W - 1) & (yh0 >= -1) & (yh0 <= H - 1)
+           & inb_c[None, :])
+
+    eye = jnp.eye(PATCH_K, dtype=patch.dtype)
+    wx = eye[ix] * (1 - fx)[..., None] + eye[ix + 1] * fx[..., None]
+    wy = eye[iy] * (1 - fy)[..., None] + eye[iy + 1] * fy[..., None]
+    # [Hh,P,4] x [Hh,P,4] x [P,4,4,C] -> [Hh,P,C]
+    f = jnp.einsum("hpy,hpx,pyxc->hpc", wy, wx, patch)
+    return f * inb[..., None].astype(f.dtype)
+
+
+patch_sample_hypotheses_batched = jax.vmap(patch_sample_hypotheses,
+                                           in_axes=(0, 0, 0, None))
+
+
 def trilinear_sample(vol: jnp.ndarray, q: jnp.ndarray) -> jnp.ndarray:
     """Sample a dense 3D feature volume at continuous cell coordinates.
 

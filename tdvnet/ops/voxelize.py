@@ -34,6 +34,13 @@ class VoxelGrid(NamedTuple):
     anchor_valid: jnp.ndarray   # [A] bool
     origins: jnp.ndarray        # [n_scenes, 3] grid origin (bbox min) per scene
     point_valid: jnp.ndarray    # [P] bool — in-grid and input-valid
+    # sorted-order view (round 5, stage-C scatter path): `order` permutes
+    # points into anchor-sorted order and `p2a_sorted = point2anchor[order]`
+    # is NONDECREASING — segment ops over it can declare
+    # indices_are_sorted=True, which XLA lowers without the generic
+    # scatter path (measured in tools/profile_initial_depth.py --c0)
+    order: jnp.ndarray          # [P] int32 permutation (anchor-sorted)
+    p2a_sorted: jnp.ndarray     # [P] int32, nondecreasing
     # capacity-overflow observability (the reference never drops geometry —
     # `mv3d/utils.py:38-64` is fully dynamic; these counters make our static
     # caps visible instead of silent):
@@ -85,11 +92,13 @@ def voxelize(pts: jnp.ndarray, pt_scene: jnp.ndarray, pt_valid: jnp.ndarray,
     # invalid → dump; overflow beyond capacity → dump
     aid_sorted = jnp.where(is_real & (aid_sorted < max_anchors), aid_sorted,
                            max_anchors)
-    point2anchor = jnp.zeros((P,), jnp.int32).at[order].set(aid_sorted)
+    point2anchor = jnp.zeros((P,), jnp.int32).at[order].set(
+        aid_sorted, unique_indices=True)
 
     # anchor attributes: min over members (all equal) with dump slot dropped
     anchor_key = jax.ops.segment_min(sk, aid_sorted,
-                                     num_segments=max_anchors + 1)[:max_anchors]
+                                     num_segments=max_anchors + 1,
+                                     indices_are_sorted=True)[:max_anchors]
     anchor_valid = (anchor_key < sentinel) & (anchor_key >= 0)
     anchor_key_safe = jnp.where(anchor_valid, anchor_key, 0)
     anchor_scene = (anchor_key_safe // n_cells).astype(jnp.int32)
@@ -108,7 +117,8 @@ def voxelize(pts: jnp.ndarray, pt_scene: jnp.ndarray, pt_valid: jnp.ndarray,
                      anchor_scene=anchor_scene, anchor_center=anchor_center,
                      anchor_valid=anchor_valid, origins=origins,
                      point_valid=valid, n_out_of_grid=n_out_of_grid,
-                     n_overflow=n_overflow)
+                     n_overflow=n_overflow, order=order.astype(jnp.int32),
+                     p2a_sorted=aid_sorted)
 
 
 def scatter_anchors_to_dense(anchor_feats: jnp.ndarray, vg: VoxelGrid,
@@ -124,12 +134,18 @@ def scatter_anchors_to_dense(anchor_feats: jnp.ndarray, vg: VoxelGrid,
     C = anchor_feats.shape[-1]
     flat = ((vg.anchor_idx3[:, 0] * gy + vg.anchor_idx3[:, 1]) * gz
             + vg.anchor_idx3[:, 2])
+    # seg is NONDECREASING: compact anchor ids were assigned in sorted-key
+    # order, so anchor_scene * n_cells + flat == anchor_key (ascending over
+    # valid anchors) and every invalid anchor maps to the trailing dump row
     seg = jnp.where(vg.anchor_valid, vg.anchor_scene * n_cells + flat,
                     n_scenes * n_cells)
     feats = jnp.where(vg.anchor_valid[:, None], anchor_feats, 0.0)
-    dense = jax.ops.segment_sum(feats, seg, num_segments=n_scenes * n_cells + 1)
+    dense = jax.ops.segment_sum(feats, seg,
+                                num_segments=n_scenes * n_cells + 1,
+                                indices_are_sorted=True)
     occ = jax.ops.segment_sum(vg.anchor_valid.astype(anchor_feats.dtype), seg,
-                              num_segments=n_scenes * n_cells + 1)
+                              num_segments=n_scenes * n_cells + 1,
+                              indices_are_sorted=True)
     dense = dense[:-1].reshape(n_scenes, gx, gy, gz, C)
     occ = jnp.minimum(occ[:-1], 1.0).reshape(n_scenes, gx, gy, gz, 1)
     return dense, occ

@@ -282,6 +282,17 @@ def test_fast_path_fused_scene_close_to_parity():
     assert np.median(diff) < 0.01
     assert diff.mean() < 0.02
 
+    # + patch-fan image variance (fast_patch): still close to parity
+    cfg_p = dataclasses.replace(cfg, eval=dataclasses.replace(
+        cfg.eval, fast_patch=True))
+    fastp = FusedSceneInference(model, variables, cfg_p, offsets_list=offs,
+                                fast_path=True)
+    assert fastp.fast_patch
+    d_fastp = fastp.predict_scene(views)
+    diff = np.abs(d_fastp - d_par)
+    assert np.median(diff) < 0.01
+    assert diff.mean() < 0.02
+
 
 def test_decoder_scene_projection_exact_when_full_rank():
     """decoder_scene_projection: with r >= rank of the stacked first-conv
@@ -326,3 +337,78 @@ def test_decoder_scene_projection_exact_when_full_rank():
                     "batch_stats": variables.get("batch_stats", {})},
                    jnp.concatenate([sp2, var], axis=-1), False)
     np.testing.assert_allclose(np.asarray(y2).sum(axis=-1), 1.0, rtol=1e-4)
+
+
+def test_patch_sample_matches_quads_for_small_fans(rng):
+    """patch_sample_hypotheses == per-hypothesis bilinear_sample_quads
+    whenever every hypothesis anchor is within +-1 texel of the center
+    anchor (the epipolar-span condition the pointflow fast path relies
+    on), including zero-padded borders and fully-out masking."""
+    from tdvnet.ops.sampling import (bilinear_sample_quads,
+                                     pack_bilinear_patches,
+                                     pack_bilinear_quads,
+                                     patch_sample_hypotheses)
+
+    H, W, C = 13, 17, 6
+    Hh, P = 7, 400
+    feat = jnp.asarray(rng.standard_normal((H, W, C)).astype(np.float32))
+    # centers spanning interior, border margin and fully-out regions
+    xy_c = np.stack([rng.uniform(-3, W + 2, P),
+                     rng.uniform(-3, H + 2, P)], axis=-1).astype(np.float32)
+    # fan within +-0.9 texel of the center -> anchors differ by at most 1
+    xy_h = (xy_c[None] + rng.uniform(-0.9, 0.9, (Hh, P, 2))
+            ).astype(np.float32)
+    xy_h[Hh // 2] = xy_c                   # center hypothesis is the anchor
+
+    quads = pack_bilinear_quads(feat)
+    ref = np.stack([np.asarray(bilinear_sample_quads(
+        quads, jnp.asarray(xy_h[h]), (H, W))) for h in range(Hh)])
+    # the quad path samples a fully-out hypothesis of an in-bounds pixel
+    # normally; the patch path zeroes the whole fan when the CENTER is
+    # fully out (clamped row holds the wrong neighborhood) — restrict the
+    # comparison to real-center pixels and check the masking separately
+    xc0 = np.floor(xy_c[:, 0]).astype(int)
+    yc0 = np.floor(xy_c[:, 1]).astype(int)
+    inb_c = ((xc0 >= -1) & (xc0 <= W - 1) & (yc0 >= -1) & (yc0 <= H - 1))
+
+    patches = pack_bilinear_patches(feat)
+    out = np.asarray(patch_sample_hypotheses(
+        patches, jnp.asarray(xy_c), jnp.asarray(xy_h), (H, W)))
+    np.testing.assert_allclose(out[:, inb_c], ref[:, inb_c],
+                               rtol=1e-5, atol=1e-5)
+    assert np.all(out[:, ~inb_c] == 0.0)
+
+
+def test_hypothesis_patch_variance_matches_exact_small_offsets(rng):
+    """hypothesis_patch_variance == hypothesis_point_variance when the
+    hypothesis fan's epipolar span is sub-texel (small offsets / small
+    baselines — the eval regime)."""
+    from tdvnet.ops import costvolume
+
+    R, Hh, P, S, C = 2, 5, 90, 3, 4
+    N = 4
+    feats = jnp.asarray(rng.standard_normal((N, 10, 12, C))
+                        .astype(np.float32))
+    K = jnp.asarray(np.tile(np.array(
+        [[9.0, 0, 6], [0, 9.0, 5], [0, 0, 1]], np.float32), (N, 1, 1)))
+    rot = jnp.asarray(np.tile(np.eye(3, dtype=np.float32), (N, 1, 1)))
+    tv = jnp.asarray((rng.normal(size=(N, 3)) * 0.05).astype(np.float32))
+    src_idx = jnp.asarray(rng.integers(0, N, size=(R, S)).astype(np.int32))
+    src_mask = jnp.asarray(rng.uniform(size=(R, S)) > 0.3)
+
+    # depth-offset fans along z: f*b*dd/d^2 ~ 9*0.1*0.1/9 ~ 0.01 texel span
+    centers = rng.uniform(-1, 1, (R, P, 3)).astype(np.float32)
+    centers[..., 2] += 3.0
+    ivals = (np.arange(Hh) - Hh // 2).astype(np.float32)
+    pts_hyp = centers[:, None, :, :].copy()
+    pts_hyp = np.repeat(pts_hyp, Hh, axis=1)
+    pts_hyp[..., 2] += (ivals[None, :, None] * 0.05)
+    pts_hyp = jnp.asarray(pts_hyp)
+
+    ref = costvolume.hypothesis_point_variance(
+        pts_hyp.reshape(R, Hh * P, 3), feats, src_idx, src_mask, rot, tv,
+        K, (10, 12)).reshape(R, Hh, P, C)
+    out = costvolume.hypothesis_patch_variance(
+        pts_hyp, feats, src_idx, src_mask, rot, tv, K, (10, 12))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=1e-5)

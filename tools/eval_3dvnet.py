@@ -37,6 +37,9 @@ def main():
     ap.add_argument("--fast-rank", type=int, default=0,
                     help="fast-path rank-r sampling-interface projection "
                          "(0 = off; see EvalConfig.fast_rank)")
+    ap.add_argument("--fast-patch", action="store_true",
+                    help="fast-path patch-fan image variance "
+                         "(EvalConfig.fast_patch)")
     ap.add_argument("--dp", action="store_true",
                     help="DP-over-scenes fused eval: run mesh-size scene "
                          "groups as one zero-collective SPMD program over "
@@ -55,7 +58,8 @@ def main():
     overrides = {"eval": {"dataset_type": args.dataset,
                           "save_dir": args.save_dir,
                           "fast_path": args.fast_path,
-                          "fast_rank": args.fast_rank}}
+                          "fast_rank": args.fast_rank,
+                          "fast_patch": args.fast_patch}}
     if args.eval_grid:
         overrides["eval"]["eval_grid_size"] = tuple(args.eval_grid)
     if args.max_anchors:

@@ -57,8 +57,10 @@ def per_scene_metrics(results_dir: str, name: str):
 
 
 def run_path(workdir: str, ckpt: str, n_scenes: int, fast: bool,
-             seed_base: int, views: int, extra: list, fast_rank: int = 0):
-    name = ("gate_fast" + (f"_r{fast_rank}" if fast_rank else "")) \
+             seed_base: int, views: int, extra: list, fast_rank: int = 0,
+             fast_patch: bool = False):
+    name = ("gate_fast" + (f"_r{fast_rank}" if fast_rank else "")
+            + ("_p" if fast_patch else "")) \
         if fast else "gate_parity"
     cmd = [sys.executable, os.path.join(REPO, "tools", "run_synthetic_eval.py"),
            "--workdir", workdir, "--scenes", str(n_scenes),
@@ -68,6 +70,8 @@ def run_path(workdir: str, ckpt: str, n_scenes: int, fast: bool,
         cmd.append("--fast-path")
     if fast_rank:
         cmd += ["--fast-rank", str(fast_rank)]
+    if fast_patch:
+        cmd.append("--fast-patch")
     print("+ " + " ".join(cmd), flush=True)
     subprocess.run(cmd, check=True)
     return per_scene_metrics(os.path.join(workdir, "results"), name)
@@ -97,13 +101,17 @@ def main():
     ap.add_argument("--fast-rank", type=int, default=0,
                     help="rank-r sampling-interface projection for the "
                          "fast path under test (0 = plain fast path)")
+    ap.add_argument("--fast-patch", action="store_true",
+                    help="patch-fan image variance for the fast path "
+                         "under test")
     ap.add_argument("--skip-run", action="store_true",
                     help="only re-aggregate existing results")
     args = ap.parse_args()
 
     extra = []
-    fast_name = "gate_fast" + (f"_r{args.fast_rank}" if args.fast_rank
-                               else "")
+    fast_name = ("gate_fast" + (f"_r{args.fast_rank}" if args.fast_rank
+                                else "")
+                 + ("_p" if args.fast_patch else ""))
     if args.skip_run:
         parity = per_scene_metrics(os.path.join(args.workdir, "results"),
                                    "gate_parity")
@@ -114,7 +122,8 @@ def main():
                           args.seed_base, args.views, extra)
         fast = run_path(args.workdir, args.ckpt, args.scenes, True,
                         args.seed_base, args.views, extra,
-                        fast_rank=args.fast_rank)
+                        fast_rank=args.fast_rank,
+                        fast_patch=args.fast_patch)
 
     common = sorted(set(parity) & set(fast))
     assert len(common) >= 2, f"need >=2 common scenes, got {common}"
@@ -143,10 +152,10 @@ def main():
                           "tol_fscore": args.tol_fscore}
 
     report["fast_rank"] = args.fast_rank
-    out_path = os.path.join(
-        args.workdir,
-        "gate_report.json" if not args.fast_rank
-        else f"gate_report_r{args.fast_rank}.json")
+    report["fast_patch"] = bool(args.fast_patch)
+    tag = ((f"_r{args.fast_rank}" if args.fast_rank else "")
+           + ("_p" if args.fast_patch else ""))
+    out_path = os.path.join(args.workdir, f"gate_report{tag}.json")
     json.dump(report, open(out_path, "w"), indent=1)
 
     print(f"\n## Fast-path quality gate — {len(common)} unseen scenes "

@@ -1,27 +1,40 @@
-"""Training-step roofline: per-stage fwd+bwd attribution (VERDICT r4 #7).
+"""Training-step roofline: per-stage fwd and fwd+bwd walls (VERDICT r4 #7).
 
-Round-4 attributed the EVAL graph sub-op by sub-op; the train step
-(fwd+bwd+update, 171.8 ms / 5.4% MFU in BENCH_r04) never got the same
-treatment.  This tool times the gradient of CUMULATIVE stage losses at the
-bench training shapes (1 scene x (7 ref + 2x2 src) @ 256x320, 64^3 grid,
-bf16 + full-forward remat, same as `bench.py` graph 2):
+The eval path got the round-4 sub-op treatment (docs/ROOFLINE.md §3/§5);
+this applies the same discipline to the TRAINING step at the bench shape
+(1 scene x (7 ref + 2 src) @ 256x320, grid_train default, n_iters=2,
+offsets [0.05, 0.05, 0.025] — the reference's late-epoch regime,
+`mv3d/lightningmodel.py:273-274`).
 
-  G1 features            grad of mean(backbone+FPN feats)
-  G2 + initial depth     grad of mean(initial depth)
-  G3 + model_scene       grad of mean(U-Net scale grids)
-  G4 + pointflow x3 x2   grad of mean(refined depth), 2 iters
-  G5 full step           the real train step (losses at every stage,
-                         upsampling, Adam update) — `make_train_step`
+Method: prefix-differencing.  Build jitted losses that run successive
+PREFIXES of the real forward —
 
-Marginal stage cost = t(Gk) - t(Gk-1); all timings chain-marginal (the
-tunnel's block_until_ready lies — see bench.py docstring).
+  AB    features + initial depth + supervision      (stages A+B)
+  ABC   + model_scene of iteration 1 (surrogate loss on the scales)
+  I1    + 3 pointflow offsets = full n_iters=1 refinement
+  I2    + second (model_scene + 3 offsets) iteration
+  FULL  + 3-stage upsampling = the real training loss
 
-Run (TPU idle):  python tools/profile_train_step.py [--no-remat]
+— and time each both forward-only and under `jax.value_and_grad` wrt
+params (chain-marginal: K data-dependent iterations inside one jit,
+(t(K)-t(1))/(K-1) cancels the ~30 ms tunnel roundtrip; see bench.py).
+Successive differences attribute each stage's fwd and fwd+bwd cost as
+compiled IN CONTEXT (XLA fusion across stage boundaries included);
+the surrogate scale loss in ABC makes the scene U-Net's backward run
+without pointflow (its true consumer), so C's bwd split is approximate
+to within the fusion slack between C and D.
+
+The full optax train step (value_and_grad + adam + BN-stat updates,
+`tdvnet/train/loop.py:make_train_step`) is measured separately as the
+ground-truth total; remat on/off is a flag.
+
+Run (TPU idle):  python tools/profile_train_step.py
 """
 from __future__ import annotations
 
 import argparse
 import dataclasses
+import functools
 import os
 import sys
 import time
@@ -34,6 +47,7 @@ import numpy as np
 
 K_CHAIN = 4
 REPS = 3
+OFFSETS = [0.05, 0.05, 0.025]
 
 
 def measure_roundtrip():
@@ -47,46 +61,74 @@ def measure_roundtrip():
     return float(np.median(ts))
 
 
-def time_chained(name, grad_scalar_fn, t_rt, arrays, k=K_CHAIN):
-    """grad_scalar_fn(eps, *arrays) -> scalar (already includes the grad
-    reduction); chained k times inside one jit."""
-    @jax.jit
-    def chain(eps, *arrays):
-        def body(e, _):
-            return grad_scalar_fn(e, *arrays) * 1e-20, None
-        e, _ = jax.lax.scan(body, eps, None, length=k)
-        return e
-
-    t0 = time.perf_counter()
-    c = chain.lower(jnp.float32(0.0), *arrays).compile()
-    t_compile = time.perf_counter() - t0
-    ca = c.cost_analysis()
+def flops_of(compiled):
+    ca = compiled.cost_analysis()
     if isinstance(ca, list):
         ca = ca[0]
-    fl = float(ca.get("flops", 0.0) or 0.0) / k
-    float(c(jnp.float32(0.0), *arrays))
-    ts = []
-    for _ in range(REPS):
+    return float(ca.get("flops", 0.0) or 0.0)
+
+
+def time_chained(name, scalar_fn, variables, fb, t_rt, k=K_CHAIN,
+                 lower_only=False):
+    """scalar_fn(variables, batch, eps) -> f32 scalar; eps keeps the chain
+    data-dependent (eps' = out * 1e-20 perturbs batch.images next iter)."""
+
+    @functools.partial(jax.jit, static_argnames=("length",))
+    def chain(variables, batch, length):
+        def body(eps, _):
+            b = dataclasses.replace(batch, images=batch.images + eps)
+            out = scalar_fn(variables, b)
+            return (out * 1e-20).astype(jnp.float32), out
+        eps, outs = jax.lax.scan(body, jnp.float32(0.0), None, length=length)
+        return eps, outs
+
+    if lower_only:
         t0 = time.perf_counter()
-        float(c(jnp.float32(0.0), *arrays))
-        ts.append(time.perf_counter() - t0)
-    t = (float(np.median(ts)) - t_rt) / k
-    tf = fl / max(t, 1e-9) / 1e12
-    print(f"{name:<44s} {t*1e3:9.2f} ms  {fl/1e9:8.1f} GFLOP  "
-          f"{tf:6.1f} TF/s  (compile {t_compile:.0f}s)", flush=True)
-    return t
+        chain.lower(variables, fb, length=1)
+        print(f"{name:<26s} lowered ok ({time.perf_counter()-t0:.1f}s)",
+              flush=True)
+        return 0.0, 0.0
+
+    t0 = time.perf_counter()
+    c = chain.lower(variables, fb, length=k).compile()
+    t_compile = time.perf_counter() - t0
+    fl = flops_of(c) / k  # scan body counted once by cost_analysis
+
+    def fetch():
+        t0 = time.perf_counter()
+        _, outs = c(variables, fb)
+        o = np.asarray(outs)
+        assert np.isfinite(o).all(), f"{name}: non-finite {o}"
+        return time.perf_counter() - t0
+
+    fetch()
+    ts = [fetch() for _ in range(REPS)]
+    t = max((float(np.median(ts)) - t_rt) / k, 1e-9)
+    tf = fl / t / 1e12
+    print(f"{name:<26s} {t*1e3:9.1f} ms  {fl/1e9:8.1f} GFLOP  "
+          f"{tf:6.2f} TF/s  (compile {t_compile:.0f}s)", flush=True)
+    return t, fl
 
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--no-remat", action="store_true")
-    ap.add_argument("--stages", default="g1,g2,g3,g4,g5")
+    ap.add_argument("--remat", action="store_true",
+                    help="jax.checkpoint the forward in the grad losses")
+    ap.add_argument("--skip-fwd", action="store_true")
+    ap.add_argument("--skip-grad", action="store_true")
+    ap.add_argument("--full-step", action="store_true",
+                    help="also measure the real optax train step "
+                         "(fwd+bwd+adam+BN updates)")
+    ap.add_argument("--lower-only", action="store_true",
+                    help="trace + lower every graph (no device execution) "
+                         "— CPU smoke check of the prefix plumbing")
     args = ap.parse_args()
-    stages = set(args.stages.split(","))
 
     from tdvnet.config import load_config
     from tdvnet.data import batch as B, synthetic
     from tdvnet.models.threedvnet import ThreeDVNet
+    from tdvnet.eval.metrics2d import mae_loss
+    from tdvnet.ops.sampling import resize_nearest
 
     cfg = load_config({"batch": {"n_scenes": 1, "n_ref": 7}})
     cfg = dataclasses.replace(
@@ -99,82 +141,136 @@ def main():
     fb = B.collate_scenes(scenes, bc.n_views, bc.n_ref,
                           bc.n_src_on_either_side)
 
-    init_fn = jax.jit(lambda rng, batch: model.init(
-        rng, batch, offsets=[0.05], n_iters=1, lam=0.0, train=False))
-    variables = init_fn(jax.random.PRNGKey(0), fb)
-    jax.block_until_ready(variables)
-    params, bstats = variables["params"], variables.get("batch_stats", {})
+    if args.lower_only:
+        t_rt = 0.0
+        variables = jax.eval_shape(
+            lambda rng, batch: model.init(
+                rng, batch, offsets=[0.05], n_iters=1, lam=0.0, train=False),
+            jax.random.PRNGKey(0), fb)
+        variables = jax.tree_util.tree_map(
+            lambda s: jnp.zeros(s.shape, s.dtype), variables)
+    else:
+        t_rt = measure_roundtrip()
+        print(f"tunnel roundtrip: {t_rt*1e3:.1f} ms", flush=True)
+        init_fn = jax.jit(lambda rng, batch: model.init(
+            rng, batch, offsets=[0.05], n_iters=1, lam=0.0, train=False))
+        variables = init_fn(jax.random.PRNGKey(0), fb)
+        jax.block_until_ready(jax.tree_util.tree_leaves(variables)[0])
+
     dc = cfg.model.depth_train
-    offsets = [0.05, 0.05, 0.025]
+    w_ref_of = lambda b: b.ref_mask.astype(jnp.float32)
 
-    t_rt = measure_roundtrip()
-    print(f"tunnel roundtrip: {t_rt*1e3:.1f} ms", flush=True)
+    # ---- forward prefixes, mirroring ThreeDVNet.__call__ exactly ----
+    def prefix(mdl, batch, stage: str):
+        w_ref = w_ref_of(batch)
+        fh, fq, _ = mdl.extract_features(batch.images, False)
+        depth, _ = mdl.initial_depth(batch, dc, fq, False)
+        gt = batch.depth_gt
 
-    remat = (lambda f: f) if args.no_remat else jax.checkpoint
+        def sup(pred):
+            gt_s = resize_nearest(gt, pred.shape[-2:])
+            return mae_loss(pred, gt_s, dc.depth_interval, w_ref)
 
-    def run_stage(name, upto: str):
-        def fwd(params, batch):
-            vs = {"params": params, "batch_stats": bstats}
-            fh, fq, _ = model.apply(vs, batch.images, False,
-                                    method="extract_features")
-            if upto == "feats":
-                return fq.astype(jnp.float32).mean()
-            d, _ = model.apply(vs, batch, dc, fq, False,
-                               method="initial_depth")
-            if upto == "depth":
-                return d.astype(jnp.float32).mean()
-            scales, origins, _ = model.apply(vs, d, fq, batch, None, True,
-                                             method="model_scene")
-            if upto == "scene":
-                return sum(s["grid"].astype(jnp.float32).mean()
-                           for s in scales)
-            for _ in range(2):
-                scales, origins, _ = model.apply(vs, d, fq, batch, None,
-                                                 True, method="model_scene")
-                for off in offsets:
-                    d = d + model.apply(vs, scales, origins, d, fq, batch,
-                                        float(off), 3, None, True,
-                                        method="run_pointflow")
-            return d.astype(jnp.float32).mean()
+        total = sup(depth)
+        if stage == "AB":
+            return total
+        n_iters = {"ABC": 1, "I1": 1, "I2": 2, "FULL": 2}[stage]
+        for it in range(n_iters):
+            scales, origins, _ = mdl.model_scene(depth, fq, batch, None, False)
+            if stage == "ABC" and it == 0:
+                # surrogate: U-Net bwd runs without pointflow downstream
+                return total + sum(jnp.mean(sc["grid"]).astype(jnp.float32)
+                                   for sc in scales) * 1e-12
+            for off in OFFSETS:
+                depth = depth + mdl.run_pointflow(
+                    scales, origins, depth, fq, batch, off, 3, None, False)
+                total = total + sup(depth)
+        if stage in ("I1", "I2"):
+            return total
+        ref_i = batch.ref_idx
+        depth = resize_nearest(depth, fq.shape[1:3])
+        depth = mdl.refine_quarter(fq[ref_i], depth, False)
+        total = total + sup(depth)
+        depth = resize_nearest(depth, fh.shape[1:3])
+        depth = mdl.refine_half(fh[ref_i], depth, False)
+        total = total + sup(depth)
+        depth = resize_nearest(depth, batch.images.shape[1:3])
+        depth = mdl.refine_full(batch.images[ref_i], depth, False)
+        return total + sup(depth)
 
-        fwd = remat(fwd)
+    stages = ["AB", "ABC", "I1", "I2", "FULL"]
+    fwd_t, grad_t = {}, {}
 
-        def gstep(eps, params, batch):
-            b = dataclasses.replace(batch, images=batch.images + eps)
-            g = jax.grad(fwd)(params, b)
-            return jax.tree_util.tree_reduce(
-                lambda a, x: a + jnp.sum(jnp.abs(x).astype(jnp.float32))
-                * 1e-12, g, jnp.float32(0.0))
+    if not args.skip_fwd:
+        print("\n-- forward only --")
+        for s in stages:
+            def f(v, b, s=s):
+                return model.apply(v, b, s, method=prefix).astype(jnp.float32)
+            fwd_t[s], _ = time_chained(f"fwd {s}", f, variables, fb, t_rt,
+                                       lower_only=args.lower_only)
 
-        time_chained(name, gstep, t_rt, arrays=(params, fb))
+    if not args.skip_grad:
+        print("\n-- forward + backward (grad wrt params) --")
+        for s in stages:
+            def loss_fn(params, b, s=s):
+                v = {"params": params,
+                     "batch_stats": variables.get("batch_stats", {})}
+                fn = functools.partial(model.apply, v)
+                if args.remat:
+                    fn = jax.checkpoint(fn)
+                return fn(b, s, method=prefix).astype(jnp.float32)
 
-    if "g1" in stages:
-        run_stage("G1 grad(features)", "feats")
-    if "g2" in stages:
-        run_stage("G2 grad(+initial depth)", "depth")
-    if "g3" in stages:
-        run_stage("G3 grad(+model_scene)", "scene")
-    if "g4" in stages:
-        run_stage("G4 grad(+pointflow 2x3)", "pointflow")
+            def g(v, b, s=s):
+                loss, grads = jax.value_and_grad(
+                    functools.partial(loss_fn, s=s))(v["params"], b)
+                # touch every grad leaf so XLA cannot DCE the backward
+                gsum = sum(jnp.sum(jnp.abs(x).astype(jnp.float32)) * 1e-20
+                           for x in jax.tree_util.tree_leaves(grads))
+                return loss + gsum
+            grad_t[s], _ = time_chained(f"grad {s}", g, variables, fb, t_rt,
+                                        lower_only=args.lower_only)
 
-    if "g5" in stages:
-        # the real train step (deep supervision + upsample + Adam)
+    if fwd_t and grad_t and not args.lower_only:
+        print("\n-- stage attribution (differences, ms) --")
+        print(f"{'stage':<28s} {'fwd':>8s} {'fwd+bwd':>8s} {'bwd':>8s}")
+
+        def row(name, a, b=None):
+            fw = (fwd_t[a] - (fwd_t[b] if b else 0.0)) * 1e3
+            gb = (grad_t[a] - (grad_t[b] if b else 0.0)) * 1e3
+            print(f"{name:<28s} {fw:8.1f} {gb:8.1f} {gb-fw:8.1f}")
+
+        row("A+B feats+init depth", "AB")
+        row("C scene model (iter1)", "ABC", "AB")
+        row("D pointflow x3 (iter1)", "I1", "ABC")
+        row("C+D iteration 2", "I2", "I1")
+        row("E upsample x3", "FULL", "I2")
+        row("TOTAL full fwd/step", "FULL")
+
+    if args.full_step:
+        print("\n-- real optax train step (loop.make_train_step) --")
         from tdvnet.train.loop import create_state, make_train_step
-
-        model2, state = create_state(cfg, jax.random.PRNGKey(0), fb)
-        step = make_train_step(model2, cfg, n_iters=2, donate=False)
+        if args.remat:
+            cfg2 = dataclasses.replace(
+                cfg, train=dataclasses.replace(cfg.train, remat=True))
+        else:
+            cfg2 = cfg
+        _, state = create_state(cfg2, jax.random.PRNGKey(0), fb)
+        step = make_train_step(model, cfg2, n_iters=2, donate=False)
         lam = jnp.float32(1.0)
-        state, m = step(state, fb, lam)       # compile + warm
-        jax.block_until_ready(m)
+        t0 = time.perf_counter()
+        state2, m = step(state, fb, lam)
+        jax.block_until_ready(m["loss"])
+        print(f"compile+first step: {time.perf_counter()-t0:.1f}s")
         ts = []
         for _ in range(REPS + 1):
             t0 = time.perf_counter()
-            state, m = step(state, fb, lam)
-            float(m["loss"])                  # host fetch forces execution
+            _, m = step(state, fb, lam)
+            v = float(m["loss"])
+            assert np.isfinite(v)
             ts.append(time.perf_counter() - t0)
         t = float(np.median(ts[1:])) - t_rt
-        print(f"{'G5 full train step (fwd+bwd+adam)':<44s} {t*1e3:9.2f} ms"
-              f"  (sequential, roundtrip-corrected)", flush=True)
+        print(f"train step wall: {t*1e3:.1f} ms "
+              f"(fwd+bwd+adam+BN, remat={args.remat})")
 
 
 if __name__ == "__main__":

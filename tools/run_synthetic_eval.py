@@ -36,6 +36,9 @@ def main():
     ap.add_argument("--fast-rank", type=int, default=0,
                     help="fast-path rank-r sampling-interface projection "
                          "(0 = off; see EvalConfig.fast_rank)")
+    ap.add_argument("--fast-patch", action="store_true",
+                    help="fast-path patch-fan image variance "
+                         "(EvalConfig.fast_patch)")
     ap.add_argument("--name", default=None,
                     help="results dirname (default: 3dvnet / "
                          "3dvnet_fast / gt_passthrough)")
@@ -64,7 +67,8 @@ def main():
                  "eval_grid_size": tuple(args.eval_grid),
                  "eval_max_anchors": 65536,
                  "fast_path": args.fast_path,
-                 "fast_rank": args.fast_rank},
+                 "fast_rank": args.fast_rank,
+                 "fast_patch": args.fast_patch},
     })
 
     if args.ckpt_dir:
