@@ -163,8 +163,8 @@ def make_3dvnet_pred_fn(model, variables, cfg: Config, mesh=None,
             if scene_dir not in cache:
                 idx = dset.scene_dirs.index(scene_dir)
                 group_dirs = dset.scene_dirs[idx:idx + inf_dp.n_dev]
-                group_views = [views] + [
-                    dset.load_views(idx + 1 + i, seed_idx=0)
+                group_views = [maybe_drop_u8(views)] + [
+                    maybe_drop_u8(dset.load_views(idx + 1 + i, seed_idx=0))
                     for i in range(len(group_dirs) - 1)]
                 outs = inf_dp.predict_group(group_views)
                 cache.update(zip(group_dirs, outs))
@@ -185,9 +185,31 @@ def make_3dvnet_pred_fn(model, variables, cfg: Config, mesh=None,
         inf = FusedSceneInference(model, variables, cfg)
 
     def pred_fn(views, scene_dir, dset):
+        views = maybe_drop_u8(views)
         out = inf.predict_scene(views)
         if inf.last_scene_stats:
             print(f"  scene volume stats: {inf.last_scene_stats}")
         return out
 
     return pred_fn
+
+
+def maybe_drop_u8(views):
+    """TDVNET_U8_UPLOAD=0: normalize u8 images on host and upload float.
+
+    Escape hatch for the axon tunnel: the u8-ingest prep executable
+    reproducibly hangs in device execution on this toolchain (round 5 —
+    the float twin of the same graph runs fine; bisected with a
+    faulthandler stack at `fused_scene.predict_scene`'s bbox fetch).
+    Costs 4x image upload bytes; numerics identical to the on-device
+    normalize (same mean/std math, fp32)."""
+    if os.environ.get("TDVNET_U8_UPLOAD", "1") != "0" \
+            or "images_u8" not in views:
+        return views
+    views = dict(views)
+    u8 = views.pop("images_u8")
+    sc = np.float32(views.pop("rgb_scale", 255.0))
+    mean = np.asarray(views.pop("rgb_mean"), np.float32)
+    std = np.asarray(views.pop("rgb_std"), np.float32)
+    views["images"] = ((u8.astype(np.float32) / sc) - mean) / std
+    return views
