@@ -182,14 +182,18 @@ class EvalConfig:
     # fast-path rank-r spectral compression of the pointflow sampling
     # interface (hypothesis.decoder_scene_projection): tables carry only
     # the top-r directions the decoder's first conv can read, shrinking
-    # the dominant scene-gather rows by ~r/n_scene.  0 = off; gated by
-    # tools/fastpath_gate.py like every op-mix change.
-    fast_rank: int = 0
+    # the dominant scene-gather rows by ~r/n_scene.  0 = off.  Default 96:
+    # PASSED the 12-unseen-scene paired gate (round 5,
+    # results/r5_synth48/fastpath_gate/gate_report_r96_p.json — paired
+    # d(abs_rel) -0.00005+-0.001, d(fscore) -0.0019+-0.0055); disabled
+    # automatically when rank >= the decoder's scene-channel count.
+    fast_rank: int = 96
     # fast-path patch-fan image variance: one 4x4-patch gather per
     # (pixel, source) serves the whole depth-hypothesis fan in pointflow
     # (ops/costvolume.hypothesis_patch_variance) — (2n+1)x fewer gather
-    # rows for the second-largest pointflow term.  Gated like fast_rank.
-    fast_patch: bool = False
+    # rows for the second-largest pointflow term.  Default on, gated by
+    # the same round-5 12-scene report as fast_rank.
+    fast_patch: bool = True
 
 
 @dataclass(frozen=True)

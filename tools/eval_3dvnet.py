@@ -34,12 +34,13 @@ def main():
     ap.add_argument("--fast-path", action="store_true",
                     help="validated fast path: int8 scene tables + "
                          "adaptive iter-2 offsets (cfg.eval.fast_path)")
-    ap.add_argument("--fast-rank", type=int, default=0,
+    ap.add_argument("--fast-rank", type=int, default=None,
                     help="fast-path rank-r sampling-interface projection "
-                         "(0 = off; see EvalConfig.fast_rank)")
-    ap.add_argument("--fast-patch", action="store_true",
-                    help="fast-path patch-fan image variance "
-                         "(EvalConfig.fast_patch)")
+                         "(0 = off; default: EvalConfig.fast_rank = 96, "
+                         "the round-5 gated candidate)")
+    ap.add_argument("--fast-patch", type=int, choices=(0, 1), default=None,
+                    help="fast-path patch-fan image variance (default: "
+                         "EvalConfig.fast_patch = on)")
     ap.add_argument("--dp", action="store_true",
                     help="DP-over-scenes fused eval: run mesh-size scene "
                          "groups as one zero-collective SPMD program over "
@@ -58,8 +59,10 @@ def main():
     overrides = {"eval": {"dataset_type": args.dataset,
                           "save_dir": args.save_dir,
                           "fast_path": args.fast_path,
-                          "fast_rank": args.fast_rank,
-                          "fast_patch": args.fast_patch}}
+                          **({"fast_rank": args.fast_rank}
+                             if args.fast_rank is not None else {}),
+                          **({"fast_patch": bool(args.fast_patch)}
+                             if args.fast_patch is not None else {})}}
     if args.eval_grid:
         overrides["eval"]["eval_grid_size"] = tuple(args.eval_grid)
     if args.max_anchors:

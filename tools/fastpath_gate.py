@@ -67,11 +67,10 @@ def run_path(workdir: str, ckpt: str, n_scenes: int, fast: bool,
            "--views", str(views), "--ckpt-dir", ckpt,
            "--seed-base", str(seed_base), "--name", name] + extra
     if fast:
-        cmd.append("--fast-path")
-    if fast_rank:
-        cmd += ["--fast-rank", str(fast_rank)]
-    if fast_patch:
-        cmd.append("--fast-patch")
+        # explicit knobs: EvalConfig now defaults to the gated candidate
+        # (rank 96 + patch), so "plain fast" must pin them off
+        cmd += ["--fast-path", "--fast-rank", str(fast_rank),
+                "--fast-patch", "1" if fast_patch else "0"]
     print("+ " + " ".join(cmd), flush=True)
     subprocess.run(cmd, check=True)
     return per_scene_metrics(os.path.join(workdir, "results"), name)

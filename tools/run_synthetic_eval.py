@@ -33,12 +33,13 @@ def main():
     ap.add_argument("--fast-path", action="store_true",
                     help="validated fast path: int8 scene tables + "
                          "adaptive iter-2 offsets")
-    ap.add_argument("--fast-rank", type=int, default=0,
+    ap.add_argument("--fast-rank", type=int, default=None,
                     help="fast-path rank-r sampling-interface projection "
-                         "(0 = off; see EvalConfig.fast_rank)")
-    ap.add_argument("--fast-patch", action="store_true",
-                    help="fast-path patch-fan image variance "
-                         "(EvalConfig.fast_patch)")
+                         "(0 = off; default: EvalConfig.fast_rank = 96, "
+                         "the round-5 gated candidate)")
+    ap.add_argument("--fast-patch", type=int, choices=(0, 1), default=None,
+                    help="fast-path patch-fan image variance (default: "
+                         "EvalConfig.fast_patch = on)")
     ap.add_argument("--name", default=None,
                     help="results dirname (default: 3dvnet / "
                          "3dvnet_fast / gt_passthrough)")
@@ -67,8 +68,10 @@ def main():
                  "eval_grid_size": tuple(args.eval_grid),
                  "eval_max_anchors": 65536,
                  "fast_path": args.fast_path,
-                 "fast_rank": args.fast_rank,
-                 "fast_patch": args.fast_patch},
+                 **({"fast_rank": args.fast_rank}
+                    if args.fast_rank is not None else {}),
+                 **({"fast_patch": bool(args.fast_patch)}
+                    if args.fast_patch is not None else {})},
     })
 
     if args.ckpt_dir:
