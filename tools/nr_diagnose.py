@@ -109,10 +109,7 @@ def main():
     h0 = jnp.zeros((*dims, NR.HID))
     batches = []
     for v in train_views:
-        c = np.stack([-v["rotmats"][i].T @ v["tvecs"][i]
-                      for i in range(v["images"].shape[0])])
-        origin = (c.mean(0) - np.array(dims) * voxel / 2).astype(np.float32)
-        origin[2] = -0.2
+        origin = RC.scene_grid_origin(v, dims, voxel)
         gt, gtw = RC._gt_tsdf_for(v, origin, dims, voxel)
         P = np.einsum("nij,njk->nik", v["K"], np.concatenate(
             [v["rotmats"], v["tvecs"][..., None]], 2)).astype(np.float32)

@@ -122,6 +122,10 @@ def main():
     ap.add_argument("--lower-only", action="store_true",
                     help="trace + lower every graph (no device execution) "
                          "— CPU smoke check of the prefix plumbing")
+    ap.add_argument("--stages", default="AB,ABC,I1,I2,FULL",
+                    help="comma subset of AB,ABC,I1,I2,FULL (tunnel "
+                         "compiles are slow; AB,I1,FULL alone give the "
+                         "headline split)")
     args = ap.parse_args()
 
     from tdvnet.config import load_config
@@ -198,7 +202,8 @@ def main():
         depth = mdl.refine_full(batch.images[ref_i], depth, False)
         return total + sup(depth)
 
-    stages = ["AB", "ABC", "I1", "I2", "FULL"]
+    stages = [t for t in args.stages.split(",")
+              if t in ("AB", "ABC", "I1", "I2", "FULL")]
     fwd_t, grad_t = {}, {}
 
     if not args.skip_fwd:
@@ -235,6 +240,8 @@ def main():
         print(f"{'stage':<28s} {'fwd':>8s} {'fwd+bwd':>8s} {'bwd':>8s}")
 
         def row(name, a, b=None):
+            if a not in fwd_t or (b is not None and b not in fwd_t):
+                return
             fw = (fwd_t[a] - (fwd_t[b] if b else 0.0)) * 1e3
             gb = (grad_t[a] - (grad_t[b] if b else 0.0)) * 1e3
             print(f"{name:<28s} {fw:8.1f} {gb:8.1f} {gb-fw:8.1f}")
@@ -242,8 +249,10 @@ def main():
         row("A+B feats+init depth", "AB")
         row("C scene model (iter1)", "ABC", "AB")
         row("D pointflow x3 (iter1)", "I1", "ABC")
+        row("C+D refinement (iter1)", "I1", "AB")
         row("C+D iteration 2", "I2", "I1")
         row("E upsample x3", "FULL", "I2")
+        row("E ups (vs I1, if no I2)", "FULL", "I1")
         row("TOTAL full fwd/step", "FULL")
 
     if args.full_step:

@@ -250,6 +250,36 @@ def method_dvmvs(args, train_views, cfg):
     return DV.make_pairnet_pred_fn(model, vs, chunk=4), True
 
 
+def scene_grid_origin(v, dims, voxel):
+    """Grid origin centered on the SCENE SURFACES, not the camera cluster.
+
+    Round-5 fix: the previous camera-centroid origin placed the volumetric
+    baselines' grids in free space — the synthetic scenes' walls sit just
+    OUTSIDE it, so the GT TSDF contained zero negative values (measured:
+    min 0.58 over every valid voxel) and no TSDF head could ever learn a
+    zero-crossing (the NeuralRecon "empty" rows of rounds 3-5).  Center
+    the grid on the 5-95% quantile box of the back-projected depth cloud
+    instead (the reference sizes volumes from scene geometry too:
+    `mv3d/baselines/atlas/eval-atlas.py:13-51` uses the GT-mesh bounds)."""
+    d, K, R, t = v["depth"], v["K"], v["rotmats"], v["tvecs"]
+    pts = []
+    for i in range(d.shape[0]):
+        h, w = d[i].shape
+        ys, xs = np.mgrid[0:h:8, 0:w:8]
+        dd = d[i][ys, xs]
+        m = dd > 0
+        if not m.any():
+            continue
+        uv1 = np.stack([xs[m], ys[m], np.ones(m.sum())], -1)
+        rays = (np.linalg.inv(K[i]) @ uv1.T).T
+        world = (R[i].T @ ((rays * dd[m][:, None]) - t[i]).T).T
+        pts.append(world)
+    pts = np.concatenate(pts)
+    lo, hi = np.quantile(pts, 0.05, axis=0), np.quantile(pts, 0.95, axis=0)
+    ctr = (lo + hi) / 2
+    return (ctr - np.array(dims) * voxel / 2).astype(np.float32)
+
+
 def _gt_tsdf_for(v, origin, dims, voxel):
     import jax.numpy as jnp
 
@@ -300,10 +330,7 @@ def method_atlas(args, train_views, cfg):
 
     batches = []
     for v in train_views:
-        c = np.stack([-v["rotmats"][i].T @ v["tvecs"][i]
-                      for i in range(v["images"].shape[0])])
-        origin = (c.mean(0) - np.array(dims) * voxel / 2).astype(np.float32)
-        origin[2] = -0.2
+        origin = scene_grid_origin(v, dims, voxel)
         gt, gtw = _gt_tsdf_for(v, origin, dims, voxel)
         P = np.einsum("nij,njk->nik", v["K"], np.concatenate(
             [v["rotmats"], v["tvecs"][..., None]], 2)).astype(np.float32)
@@ -359,10 +386,7 @@ def method_neuralrecon(args, train_views, cfg):
     h0 = jnp.zeros((*dims, NR.HID))
     batches = []
     for v in train_views:
-        c = np.stack([-v["rotmats"][i].T @ v["tvecs"][i]
-                      for i in range(v["images"].shape[0])])
-        origin = (c.mean(0) - np.array(dims) * voxel / 2).astype(np.float32)
-        origin[2] = -0.2
+        origin = scene_grid_origin(v, dims, voxel)
         gt, gtw = _gt_tsdf_for(v, origin, dims, voxel)
         P = np.einsum("nij,njk->nik", v["K"], np.concatenate(
             [v["rotmats"], v["tvecs"][..., None]], 2)).astype(np.float32)
