@@ -230,6 +230,15 @@ def _eval_bench(args, jax, jnp, np, cfg, model, variables, bc, chip, peak,
             n_scenes += 1
         t_eval = (time.perf_counter() - t0) / n_scenes
         eval_flops = inf.flops_executed() / n_scenes
+        if getattr(inf, "timeline", None):
+            # TDVNET_EVAL_TIMELINE=1: per-scene host-phase medians — the
+            # steady-state device wall lives in bbox_refine_dispatch; the
+            # other two phases are the non-compute bubble (VERDICT r4 #8)
+            tl = inf.timeline[1:] or inf.timeline
+            med = {k: float(np.median([t[k] for t in tl])) for k in tl[0]}
+            print(f"eval timeline medians (fast={fast}): "
+                  + ", ".join(f"{k}={v*1e3:.0f}ms" for k, v in med.items()),
+                  file=sys.stderr)
         return R / t_eval, t_eval, eval_flops / R, eval_flops, R
 
     # default (neither flag): headline = the quality-gated fast path,
