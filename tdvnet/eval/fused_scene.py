@@ -543,6 +543,13 @@ class FusedSceneInference:
                       proj_V=self._proj_V, vars_fast=self._vars_fast)
         out, stats = self._refine(**kwargs)
         self._count(self._refine, kwargs, (gc, st["n_chunks"]))
+        # NOTE (round 5): pre-staging the result with copy_to_host_async
+        # here measured WORSE on the axon tunnel (yield_wait 618 ms ->
+        # 1418 ms — the async copy races the fetch thread's asarray into
+        # a second transfer); the bbox async copy in _dispatch_prep is
+        # kept (6 floats, no concurrent fetch).  The unhidden result
+        # download (~0.45-0.6 s/scene, 8 MB u16) remains the dominant
+        # non-compute wall — see docs/ROOFLINE.md §5.5.
         st["result"] = (out, stats)
 
     def _fetch(self, st):
